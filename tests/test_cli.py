@@ -1,0 +1,119 @@
+"""CLI end-to-end tests: count mode and print mode (main.cpp parity)."""
+
+import io
+import subprocess
+import sys
+
+import numpy as np
+
+from kmer_counter_tpu import golden, records
+from kmer_counter_tpu.__main__ import main as cli_main
+from kmer_counter_tpu.io.dump import load_table
+from kmer_counter_tpu.io.printer import print_records
+
+from tests.test_engine import golden_dir_table
+from tests.test_ingest import random_seqs, write_fastq
+
+
+def test_cli_count_mode(tmp_path, rng, capsys, monkeypatch):
+    (tmp_path / "in").mkdir()
+    write_fastq(tmp_path / "in" / "a.fastq", random_seqs(rng, 12, 40))
+    out = tmp_path / "output.bin"
+    rc = cli_main(
+        [
+            "kmerLength=15",
+            f"inputFileLocation={tmp_path / 'in'}",
+            f"outputFile={out}",
+            "readsPerChunk=4",
+            "verbose=0",
+        ]
+    )
+    assert rc == 0
+    captured = capsys.readouterr()
+    assert "Updating kmerLength=15" in captured.out
+    words, counts = load_table(str(out), 15)
+    want_words, want_counts = golden_dir_table(tmp_path, 15)
+    np.testing.assert_array_equal(words, want_words)
+    np.testing.assert_array_equal(counts, want_counts)
+
+
+def test_cli_missing_required_flags(capsys):
+    rc = cli_main(["kmerLength=15"])
+    assert rc == 2
+    assert "required flag" in capsys.readouterr().err
+
+
+def test_cli_print_mode(tmp_path, capsys):
+    # Build a tiny record file by hand, then print it.
+    counter = golden.count_reads(["ACGTACGTA"], k=4)
+    (tmp_path / "t.bin").write_bytes(golden.serialize_counter(counter))
+    rc = cli_main(["print", str(tmp_path / "t.bin"), "-", "4"])
+    assert rc == 0
+    out_lines = [
+        line
+        for line in capsys.readouterr().out.splitlines()
+        if line and not line.startswith("###")
+    ]
+    # Reference format: 32 bases per word (padding as 'A') + space + count.
+    assert len(out_lines) == len(counter)
+    for line in out_lines:
+        kmer, count = line.rsplit(" ", 1)
+        assert len(kmer) == 32
+        assert set(kmer) <= set("ACGT")
+        assert count.isdigit()
+    # ACGT appears twice in ACGTACGTA
+    acgt_line = [l for l in out_lines if l.startswith("ACGT" + "A" * 28)]
+    assert acgt_line and acgt_line[0].endswith(" 2")
+
+
+def test_cli_print_to_file(tmp_path):
+    counter = golden.count_reads(["ACGTACGTA"], k=4)
+    (tmp_path / "t.bin").write_bytes(golden.serialize_counter(counter))
+    out_file = tmp_path / "rendered.txt"
+    rc = cli_main(["print", str(tmp_path / "t.bin"), str(out_file), "4"])
+    assert rc == 0
+    assert len(out_file.read_text().splitlines()) == len(counter)
+
+
+def test_print_records_trim(tmp_path):
+    counter = golden.count_reads(["ACGTACGTA"], k=4)
+    path = tmp_path / "t.bin"
+    path.write_bytes(golden.serialize_counter(counter))
+    buf = io.StringIO()
+    n = print_records(str(path), 4, out=buf, trim=True)
+    assert n == len(counter)
+    for line in buf.getvalue().splitlines():
+        kmer, _ = line.rsplit(" ", 1)
+        assert len(kmer) == 4
+
+
+def test_cli_as_module(tmp_path, rng):
+    """Smoke-test `python -m kmer_counter_tpu` as a real subprocess."""
+    (tmp_path / "in").mkdir()
+    write_fastq(tmp_path / "in" / "a.fastq", random_seqs(rng, 6, 30))
+    out = tmp_path / "output.bin"
+    env = {
+        "PATH": "/usr/bin:/bin",
+        "JAX_PLATFORMS": "cpu",
+        "HOME": "/root",
+    }
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "kmer_counter_tpu",
+            "kmerLength=9",
+            f"inputFileLocation={tmp_path / 'in'}",
+            f"outputFile={out}",
+            "verbose=0",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr
+    words, counts = load_table(str(out), 9)
+    want_words, want_counts = golden_dir_table(tmp_path, 9)
+    np.testing.assert_array_equal(words, want_words)
+    np.testing.assert_array_equal(counts, want_counts)

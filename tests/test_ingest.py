@@ -1,0 +1,116 @@
+"""FASTQ ingest tests (io.fastq) against synthetic files."""
+
+import numpy as np
+import pytest
+
+from kmer_counter_tpu.io.fastq import DirectoryInput, FASTQReader
+
+
+def write_fastq(path, seqs, qual_char="I", header_extra=""):
+    with open(path, "w") as fh:
+        for i, seq in enumerate(seqs):
+            fh.write(f"@read{i} {header_extra}\n{seq}\n+\n{qual_char * len(seq)}\n")
+
+
+def random_seqs(rng, n, L, alphabet="ACGT"):
+    return ["".join(rng.choice(list(alphabet), size=L)) for _ in range(n)]
+
+
+def test_reader_basic(tmp_path, rng):
+    seqs = random_seqs(rng, 25, 60)
+    write_fastq(tmp_path / "a.fastq", seqs)
+    reader = FASTQReader(str(tmp_path / "a.fastq"))
+    assert reader.line_length == 60
+    got = []
+    while True:
+        chunk = reader.read_chunk(10)
+        if chunk is None:
+            break
+        assert chunk.line_length == 60
+        got += [bytes(row).decode() for row in chunk.reads[: chunk.n_reads]]
+    assert got == seqs
+
+
+def test_reader_no_trailing_newline(tmp_path):
+    data = "@r0\nACGTACGT\n+\nIIIIIIII\n@r1\nTTTTAAAA\n+\nIIIIIIII"
+    (tmp_path / "a.fastq").write_text(data)
+    reader = FASTQReader(str(tmp_path / "a.fastq"))
+    chunk = reader.read_chunk(10)
+    assert chunk.n_reads == 2
+    assert bytes(chunk.reads[1]).decode() == "TTTTAAAA"
+
+
+def test_reader_crlf(tmp_path):
+    data = "@r0\r\nACGTACGT\r\n+\r\nIIIIIIII\r\n"
+    (tmp_path / "a.fastq").write_text(data)
+    reader = FASTQReader(str(tmp_path / "a.fastq"))
+    chunk = reader.read_chunk(10)
+    assert chunk.n_reads == 1
+    # CR is stripped from the sequence; line_length from the first parse
+    # includes it conservatively, and the row is zero-padded.
+    assert bytes(chunk.reads[0]).rstrip(b"\x00").decode() == "ACGTACGT"
+
+
+def test_reader_plus_quality_line(tmp_path):
+    # A quality line starting with '+' must not confuse the parser (the
+    # reference's next-line heuristic would, FASTQFileReader.cpp:57-74).
+    data = "@r0\nACGTACGT\n+\n+IIIIIII\n@r1\nTTTTAAAA\n+\nIIIIIIII\n"
+    (tmp_path / "a.fastq").write_text(data)
+    reader = FASTQReader(str(tmp_path / "a.fastq"))
+    chunk = reader.read_chunk(10)
+    assert chunk.n_reads == 2
+    assert bytes(chunk.reads[0]).decode() == "ACGTACGT"
+    assert bytes(chunk.reads[1]).decode() == "TTTTAAAA"
+
+
+def test_reader_not_fastq(tmp_path):
+    (tmp_path / "bad.fastq").write_text("not a fastq\nfile\n")
+    with pytest.raises(ValueError):
+        FASTQReader(str(tmp_path / "bad.fastq"))
+
+
+def test_reader_short_last_read(tmp_path):
+    data = "@r0\nACGTACGTAC\n+\nIIIIIIIIII\n@r1\nACGT\n+\nIIII\n"
+    (tmp_path / "a.fastq").write_text(data)
+    reader = FASTQReader(str(tmp_path / "a.fastq"))
+    chunk = reader.read_chunk(10)
+    assert chunk.n_reads == 2
+    assert bytes(chunk.reads[1]).decode() == "ACGT" + "\x00" * 6
+
+
+def test_directory_input_multi_file(tmp_path, rng):
+    seqs_a = random_seqs(rng, 12, 40)
+    seqs_b = random_seqs(rng, 7, 40)
+    write_fastq(tmp_path / "a.fastq", seqs_a)
+    write_fastq(tmp_path / "b.fq", seqs_b)
+    (tmp_path / "notes.md").write_text("ignore me")
+    src = DirectoryInput(str(tmp_path))
+    assert len(src.paths) == 2
+    got = []
+    while True:
+        chunk = src.read_chunk(5)
+        if chunk is None:
+            break
+        assert chunk.n_reads <= 5  # chunks never span files
+        got += [bytes(row).decode() for row in chunk.reads[: chunk.n_reads]]
+    assert got == seqs_a + seqs_b
+
+
+def test_directory_input_empty(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        DirectoryInput(str(tmp_path))
+    with pytest.raises(FileNotFoundError):
+        DirectoryInput(str(tmp_path / "nope"))
+
+
+def test_block_boundary_parsing(tmp_path, rng, monkeypatch):
+    # Force tiny parse blocks so lines straddle block boundaries.
+    import kmer_counter_tpu.io.fastq as fastq_mod
+
+    monkeypatch.setattr(fastq_mod, "_BLOCK_BYTES", 7)
+    seqs = random_seqs(rng, 10, 23)
+    write_fastq(tmp_path / "a.fastq", seqs, header_extra="x" * 31)
+    reader = FASTQReader(str(tmp_path / "a.fastq"))
+    chunk = reader.read_chunk(100)
+    assert chunk.n_reads == 10
+    assert [bytes(r).decode() for r in chunk.reads] == seqs
