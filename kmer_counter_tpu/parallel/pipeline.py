@@ -1,0 +1,225 @@
+"""Sharded count pipeline: data-parallel counting + prefix-routed merge.
+
+The multi-chip generalization of the single-device engine loop: reads are
+row-sharded over the mesh's ``data`` axis, each device runs the same
+encode→extract→sort-count step on its rows and appends into its own HBM
+table shard, and the finalize step routes every record to its key-range
+owner with one all_to_all (parallel.shuffle) — the reference's disk merge
+tree (SURVEY.md §3.3) collapsed into a single collective.
+
+All steps are jitted ``shard_map`` programs over a ``jax.sharding.Mesh``,
+so the same code drives 1 chip, 1 host with N chips, or an N-host slice
+(where jax.distributed makes the mesh span processes).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from kmer_counter_tpu.ops.encode import encode_reads
+from kmer_counter_tpu.ops.extract import extract_kmer_lanes
+from kmer_counter_tpu.ops.sortcount import sort_reduce
+from kmer_counter_tpu.parallel.mesh import DATA_AXIS
+from kmer_counter_tpu.parallel.shuffle import route_merge_local
+
+
+class ShardedCounter:
+    """Device-sharded count table with a chunked update step.
+
+    Host-facing contract mirrors ops.table: the host tracks a worst-case
+    per-device offset bound and calls consolidate()/finalize() at the right
+    times; only those calls synchronize (one small transfer each).
+    """
+
+    def __init__(
+        self,
+        mesh,
+        k: int,
+        canonical: bool,
+        table_slots: int,
+        reads_per_device: int,
+        line_length: int,
+        merge_slack: float = 4.0,
+    ):
+        self.mesh = mesh
+        self.k = k
+        self.canonical = canonical
+        self.D = mesh.devices.size
+        self.table_slots = table_slots  # per device
+        self.reads_per_device = reads_per_device
+        self.line_length = line_length
+        self._merge_slack = merge_slack
+        self.chunk_slots = reads_per_device * (line_length - k + 1)
+        if self.chunk_slots <= 0:
+            raise ValueError("line_length shorter than k")
+        if self.chunk_slots > table_slots:
+            raise ValueError("per-device chunk exceeds table capacity")
+        from kmer_counter_tpu.records import lanes_per_kmer
+
+        self.NL = lanes_per_kmer(k)
+        # Per-destination bucket capacity for the merge all_to_all.
+        self.bucket_cap = int(min(table_slots, table_slots * merge_slack / self.D))
+
+        sharded = NamedSharding(mesh, P(DATA_AXIS))
+        self._spec_table = P(DATA_AXIS)
+        self.lanes = jax.device_put(
+            jnp.zeros((self.D * table_slots, self.NL), jnp.uint32), sharded
+        )
+        self.counts = jax.device_put(
+            jnp.zeros((self.D * table_slots,), jnp.uint32), sharded
+        )
+        self.offsets = jax.device_put(jnp.zeros((self.D,), jnp.int32), sharded)
+        self.host_bound = 0  # worst-case per-device offset
+
+        self._step = self._build_step()
+        self._consolidate = self._build_consolidate()
+        self._finalize = self._build_finalize()
+
+    # ---- jitted programs -------------------------------------------------
+
+    def _build_step(self):
+        k, canonical = self.k, self.canonical
+        mesh = self.mesh
+
+        def local_step(lanes, counts, offset, reads):
+            codes, valid = encode_reads(reads)
+            win_lanes, win_valid = extract_kmer_lanes(codes, valid, k, canonical)
+            R, Pw, NL = win_lanes.shape
+            c_lanes, c_counts, c_unique = sort_reduce(
+                win_lanes.reshape(R * Pw, NL),
+                win_valid.reshape(R * Pw).astype(jnp.uint32),
+            )
+            lanes = jax.lax.dynamic_update_slice(lanes, c_lanes, (offset[0], 0))
+            counts = jax.lax.dynamic_update_slice(counts, c_counts, (offset[0],))
+            return lanes, counts, offset + c_unique
+
+        fn = shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        )
+        return jax.jit(fn, donate_argnums=(0, 1, 2))
+
+    def _build_consolidate(self):
+        def local_consolidate(lanes, counts, offset):
+            del offset
+            out_lanes, out_counts, num_unique = sort_reduce(lanes, counts)
+            return out_lanes, out_counts, num_unique[None].astype(jnp.int32)
+
+        fn = shard_map(
+            local_consolidate,
+            mesh=self.mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        )
+        return jax.jit(fn, donate_argnums=(0, 1, 2))
+
+    def _build_finalize(self):
+        D, cap = self.D, self.bucket_cap
+
+        def local_finalize(lanes, counts, offset):
+            del offset
+            # Local collapse first: shrinks the routed volume.
+            l, c, _ = sort_reduce(lanes, counts)
+            out_lanes, out_counts, num_unique, overflow = route_merge_local(
+                l, c, DATA_AXIS, D, cap
+            )
+            return (
+                out_lanes,
+                out_counts,
+                num_unique[None].astype(jnp.int32),
+                overflow[None].astype(jnp.int32),
+            )
+
+        fn = shard_map(
+            local_finalize,
+            mesh=self.mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        )
+        return jax.jit(fn)
+
+    # ---- host-facing API -------------------------------------------------
+
+    def step(self, reads: np.ndarray):
+        """Process one global chunk of shape [D*reads_per_device, L]."""
+        if self.host_bound + self.chunk_slots > self.table_slots:
+            self.consolidate()
+            if self.host_bound + self.chunk_slots > self.table_slots:
+                # Cardinality outgrew the plan: double capacity (rare; the
+                # reference's equivalent pressure valve was spilling sorted
+                # runs to disk, SURVEY.md §3.3).
+                new_slots = self.table_slots
+                while self.host_bound + self.chunk_slots > new_slots:
+                    new_slots *= 2
+                self._grow(new_slots)
+        sharded = NamedSharding(self.mesh, P(DATA_AXIS))
+        dev_reads = jax.device_put(reads, sharded)
+        self.lanes, self.counts, self.offsets = self._step(
+            self.lanes, self.counts, self.offsets, dev_reads
+        )
+        self.host_bound += self.chunk_slots
+
+    def _grow(self, new_slots: int):
+        """Host-side capacity doubling of every table shard (rare)."""
+        old = self.table_slots
+        lanes = np.asarray(jax.device_get(self.lanes)).reshape(
+            self.D, old, self.NL
+        )
+        counts = np.asarray(jax.device_get(self.counts)).reshape(self.D, old)
+        new_lanes = np.zeros((self.D, new_slots, self.NL), np.uint32)
+        new_counts = np.zeros((self.D, new_slots), np.uint32)
+        new_lanes[:, :old] = lanes
+        new_counts[:, :old] = counts
+        sharded = NamedSharding(self.mesh, P(DATA_AXIS))
+        self.lanes = jax.device_put(
+            new_lanes.reshape(self.D * new_slots, self.NL), sharded
+        )
+        self.counts = jax.device_put(new_counts.reshape(self.D * new_slots), sharded)
+        self.table_slots = new_slots
+        self.bucket_cap = int(
+            min(new_slots, new_slots * self._merge_slack / self.D)
+        )
+        # Shapes changed: rebuild the jitted programs.
+        self._step = self._build_step()
+        self._consolidate = self._build_consolidate()
+        self._finalize = self._build_finalize()
+
+    def consolidate(self):
+        self.lanes, self.counts, self.offsets = self._consolidate(
+            self.lanes, self.counts, self.offsets
+        )
+        self.host_bound = int(np.max(jax.device_get(self.offsets)))
+
+    def finalize(self) -> tuple[np.ndarray, np.ndarray]:
+        """Merge across devices; returns (words-sorted lanes [U, NL], counts).
+
+        The result is globally sorted because the routing is monotonic in
+        the key and devices are concatenated in mesh order.
+        """
+        lanes, counts, nuniq, overflow = self._finalize(
+            self.lanes, self.counts, self.offsets
+        )
+        overflow = int(np.max(jax.device_get(overflow)))
+        if overflow > 0:
+            raise MemoryError(
+                f"merge bucket overflow by {overflow} records: key-space "
+                "skew exceeded merge_slack; retry with higher slack"
+            )
+        nuniq = np.asarray(jax.device_get(nuniq))
+        lanes = np.asarray(jax.device_get(lanes))
+        counts = np.asarray(jax.device_get(counts))
+        block = self.D * self.bucket_cap
+        parts_l, parts_c = [], []
+        for d in range(self.D):
+            u = int(nuniq[d])
+            parts_l.append(lanes[d * block : d * block + u])
+            parts_c.append(counts[d * block : d * block + u])
+        return np.concatenate(parts_l), np.concatenate(parts_c)

@@ -1,0 +1,169 @@
+"""Multi-device tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from kmer_counter_tpu import golden, records
+from kmer_counter_tpu.parallel.mesh import make_mesh
+from kmer_counter_tpu.parallel.pipeline import ShardedCounter
+from kmer_counter_tpu.parallel.shuffle import owner_of
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    return make_mesh(8)
+
+
+def table_as_counter(lanes, counts, k):
+    words = records.lanes_to_words(np.asarray(lanes))
+    return {
+        tuple(w): int(c)
+        for w, c in zip(words.tolist(), np.asarray(counts).tolist())
+        if c > 0
+    }
+
+
+def test_owner_monotonic():
+    import jax.numpy as jnp
+
+    lane0 = jnp.asarray(
+        np.sort(np.random.default_rng(0).integers(0, 2**32, 10000, dtype=np.uint64))
+        .astype(np.uint32)
+    )
+    owners = np.asarray(owner_of(lane0, 8))
+    assert (np.diff(owners) >= 0).all()
+    assert owners.min() >= 0 and owners.max() <= 7
+
+
+@pytest.mark.parametrize("k,canonical", [(15, False), (31, True), (55, False)])
+def test_sharded_counter_matches_golden(mesh8, make_reads, k, canonical):
+    L = max(k + 15, 60)
+    counter = ShardedCounter(
+        mesh8,
+        k,
+        canonical,
+        table_slots=4096,
+        reads_per_device=4,
+        line_length=L,
+    )
+    want = {}
+    for _ in range(3):
+        reads = make_reads(8 * 4, L, invalid_frac=0.03)
+        for key, c in golden.count_reads(reads, k, canonical).items():
+            want[key] = want.get(key, 0) + c
+        counter.step(reads)
+    lanes, counts = counter.finalize()
+    got = table_as_counter(lanes, counts, k)
+    assert got == want
+    # Globally sorted ascending.
+    keys = list(map(tuple, np.asarray(lanes).tolist()))
+    assert keys == sorted(keys)
+
+
+def test_sharded_counter_consolidation_pressure(mesh8, make_reads):
+    k, L = 15, 40
+    counter = ShardedCounter(
+        mesh8, k, False, table_slots=256, reads_per_device=2, line_length=L
+    )
+    want = {}
+    for _ in range(6):
+        reads = make_reads(16, L)
+        for key, c in golden.count_reads(reads, k).items():
+            want[key] = want.get(key, 0) + c
+        counter.step(reads)
+    lanes, counts = counter.finalize()
+    assert table_as_counter(lanes, counts, k) == want
+
+
+def test_shuffle_overflow_detected(mesh8):
+    # Keys that all share their leading 16 bits route to a single owner;
+    # a too-small bucket capacity must be *detected*, never silently drop.
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from kmer_counter_tpu.parallel.mesh import DATA_AXIS
+    from kmer_counter_tpu.parallel.shuffle import route_merge_local
+
+    C, NL, cap = 64, 2, 8
+    rng = np.random.default_rng(1)
+    # 8*64 distinct keys, all with lane0 high bits zero → owner 0.
+    lane0 = rng.permutation(2**16, )[: 8 * C].astype(np.uint32)
+    lanes = np.stack([lane0, np.zeros_like(lane0)], axis=-1)
+    counts = np.ones(8 * C, np.uint32)
+
+    def body(l, c):
+        out = route_merge_local(jnp.asarray(l), jnp.asarray(c), DATA_AXIS, 8, cap)
+        return out[3][None]
+
+    fn = shard_map(
+        body,
+        mesh=mesh8,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+    )
+    overflow = np.asarray(fn(lanes, counts))
+    assert (overflow > 0).all()
+    assert overflow.max() >= C - cap
+
+
+def test_shuffle_balanced_no_overflow(mesh8):
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from kmer_counter_tpu.parallel.mesh import DATA_AXIS
+    from kmer_counter_tpu.parallel.shuffle import route_merge_local
+
+    C, NL, cap = 64, 2, 32
+    rng = np.random.default_rng(2)
+    lanes = rng.integers(0, 2**32, size=(8 * C, NL), dtype=np.uint64).astype(
+        np.uint32
+    )
+    counts = np.ones(8 * C, np.uint32)
+
+    def body(l, c):
+        ol, oc, nu, ov = route_merge_local(
+            jnp.asarray(l), jnp.asarray(c), DATA_AXIS, 8, cap
+        )
+        return ol, oc, nu[None], ov[None]
+
+    fn = shard_map(
+        body,
+        mesh=mesh8,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+    )
+    out_lanes, out_counts, nuniq, overflow = fn(lanes, counts)
+    assert int(np.max(np.asarray(overflow))) == 0
+    # Every input key survived the routing.
+    got = set()
+    block = 8 * cap
+    out_lanes, out_counts = np.asarray(out_lanes), np.asarray(out_counts)
+    for d in range(8):
+        u = int(np.asarray(nuniq)[d])
+        for row in out_lanes[d * block : d * block + u]:
+            got.add(tuple(row.tolist()))
+    want = {tuple(r.tolist()) for r in lanes}
+    assert got == want
+
+
+def test_sharded_matches_single_device(mesh8, make_reads):
+    from kmer_counter_tpu.ops import count_chunk
+
+    k, L = 31, 60
+    reads = make_reads(32, L, invalid_frac=0.02)
+    counter = ShardedCounter(
+        mesh8, k, False, table_slots=2048, reads_per_device=4, line_length=L
+    )
+    counter.step(reads)
+    lanes_m, counts_m = counter.finalize()
+    import jax.numpy as jnp
+
+    lanes_s, counts_s, n_s = count_chunk(jnp.asarray(reads), k, False)
+    got_single = table_as_counter(
+        np.asarray(lanes_s)[: int(n_s)], np.asarray(counts_s)[: int(n_s)], k
+    )
+    assert table_as_counter(lanes_m, counts_m, k) == got_single
