@@ -1,0 +1,137 @@
+"""Benchmark: k-mers counted per second per chip (BASELINE.json north star).
+
+Measures the steady-state per-chunk loop on the default device (the real
+TPU chip under the driver): encode → extract → canonical → sort-count →
+table append, exactly the engine's hot path, on synthetic 100-base reads at
+k=31 canonical (BASELINE.json config 2).
+
+Prints ONE JSON line:
+  {"metric": "kmers_per_sec_per_chip_k31", "value": ..., "unit": "kmers/s",
+   "vs_baseline": ...}
+
+``vs_baseline`` is measured, not copied: the reference publishes no numbers
+(BASELINE.md) and its CUDA binary cannot run here, so the baseline proxy is
+the same workload executed by the best host-side implementation of the
+reference's *active* aggregation design (NumPy vectorized extract + sort —
+generous to the reference, whose actual path is a single-thread -O0 hash
+insert loop).  vs_baseline = device_throughput / host_proxy_throughput.
+
+Env knobs: BENCH_READS (default 16384), BENCH_ITERS (5), BENCH_K (31),
+BENCH_CANONICAL (1), BENCH_LINE_LEN (100).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def host_proxy_throughput(reads, k, canonical):
+    """Reference-semantics counter in vectorized NumPy (sort-count)."""
+    from kmer_counter_tpu import records
+
+    t0 = time.perf_counter()
+    codes, _ = records.encode_bases(reads)
+    R, L = codes.shape
+    P = L - k + 1
+    idx = np.arange(P)[:, None] + np.arange(k)[None, :]
+    windows = codes[:, idx]  # [R, P, k]
+    words = records.pack_codes(windows.reshape(R * P, k), k)
+    if canonical:
+        words = records.canonical_words(words, k)
+    # sort + adjacent reduce (the dormant reference design, on host)
+    order = np.lexsort(tuple(words[:, w] for w in reversed(range(words.shape[1]))))
+    swords = words[order]
+    boundary = np.concatenate(
+        [[True], (swords[1:] != swords[:-1]).any(axis=1)]
+    )
+    np.add.reduceat(np.ones(len(swords), np.uint32), np.flatnonzero(boundary))
+    dt = time.perf_counter() - t0
+    return (R * P) / dt
+
+
+def main():
+    n_reads = int(os.environ.get("BENCH_READS", 16384))
+    iters = int(os.environ.get("BENCH_ITERS", 5))
+    k = int(os.environ.get("BENCH_K", 31))
+    canonical = os.environ.get("BENCH_CANONICAL", "1") == "1"
+    L = int(os.environ.get("BENCH_LINE_LEN", 100))
+
+    import jax
+    import jax.numpy as jnp
+
+    from kmer_counter_tpu.ops import count_chunk
+    from kmer_counter_tpu.ops import table as table_ops
+    from kmer_counter_tpu.records import lanes_per_kmer
+
+    rng = np.random.default_rng(0)
+    reads = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(n_reads, L))
+    P = L - k + 1
+    kmers_per_chunk = n_reads * P
+    device = jax.devices()[0]
+    print(
+        f"[bench] device={device} reads={n_reads} L={L} k={k} "
+        f"canonical={canonical} kmers/chunk={kmers_per_chunk}",
+        file=sys.stderr,
+    )
+
+    # Capacity for warmup + all timed appends without consolidation.
+    table = jax.device_put(
+        table_ops.make_table((3 * iters + 2) * kmers_per_chunk, lanes_per_kmer(k)),
+        device,
+    )
+    dev_reads = jax.device_put(jnp.asarray(reads), device)
+
+    def step(table):
+        lanes, counts, n = count_chunk(dev_reads, k, canonical)
+        return table_ops.append(table, lanes, counts, n)
+
+    def drain(table):
+        # Force full completion: fetch a scalar that depends on the whole
+        # chain.  (block_until_ready alone can return early through the
+        # remote-tunnel backend, giving wildly optimistic timings.)
+        return int(jax.device_get(table.offset))
+
+    # Warmup / compile.
+    t0 = time.perf_counter()
+    table = step(table)
+    drain(table)
+    compile_s = time.perf_counter() - t0
+    table = table_ops.consolidate(table)
+    drain(table)
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            table = step(table)
+        drain(table)
+        best = min(best, time.perf_counter() - t0)
+    dt = best
+    device_tput = iters * kmers_per_chunk / dt
+    print(
+        f"[bench] compile={compile_s:.1f}s steady={dt/iters*1e3:.1f}ms/chunk "
+        f"-> {device_tput/1e6:.1f}M kmers/s",
+        file=sys.stderr,
+    )
+
+    proxy_reads = reads[: max(n_reads // 16, 64)]
+    proxy_tput = host_proxy_throughput(proxy_reads, k, canonical)
+    print(f"[bench] host proxy {proxy_tput/1e6:.2f}M kmers/s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"kmers_per_sec_per_chip_k{k}",
+                "value": round(device_tput, 1),
+                "unit": "kmers/s",
+                "vs_baseline": round(device_tput / proxy_tput, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,7 @@ import numpy as np
 
 from kmer_counter_tpu import records
 from kmer_counter_tpu.config import Options
-from kmer_counter_tpu.io.dump import dump_table
+from kmer_counter_tpu.io.dump import dump_table, load_table
 from kmer_counter_tpu.io.fastq import DirectoryInput
 from kmer_counter_tpu.ops import count_chunk
 from kmer_counter_tpu.ops import table as table_ops
@@ -44,6 +44,7 @@ class RunStats:
     consolidations: int = 0
     distinct_kmers: int = 0
     total_kmers: int = 0
+    spilled_runs: int = 0
     ingest_seconds: float = 0.0
     wall_seconds: float = 0.0
     per_file: dict = field(default_factory=dict)
@@ -97,11 +98,22 @@ class CountEngine:
             raise ValueError("outputFile is required")
         self.opts = opts
         self.device = device or jax.devices()[0]
+        self._scheduler = None  # lazy spill-merge scheduler (io.spill)
 
-    def _ingest_worker(self, source, reads_per_chunk, out_q, stats):
+    def _ingest_worker(self, source, reads_per_chunk, out_q, stats, skip_reads=0):
         """Prefetch thread: parse chunks ahead of the device (the analog of
-        the reference's reader-ahead main loop, KMerCounter.cpp:123-143)."""
+        the reference's reader-ahead main loop, KMerCounter.cpp:123-143).
+
+        ``skip_reads`` reads are consumed and discarded first (checkpoint
+        resume; ingest order is deterministic)."""
         try:
+            while skip_reads > 0:
+                t0 = time.perf_counter()
+                chunk = source.read_chunk(min(reads_per_chunk, skip_reads))
+                stats.ingest_seconds += time.perf_counter() - t0
+                if chunk is None:
+                    break
+                skip_reads -= chunk.n_reads
             while True:
                 t0 = time.perf_counter()
                 chunk = source.read_chunk(reads_per_chunk)
@@ -136,18 +148,45 @@ class CountEngine:
                 f"device={self.device}"
             )
 
-        table = jax.device_put(
-            table_ops.make_table(table_slots, NL), self.device
-        )
+        host_bound = 0  # worst-case table offset (see ops.table docstring)
+        skip_reads = 0
+        resumed = None
+        if opts.checkpoint_dir:
+            from kmer_counter_tpu import checkpoint as ckpt
+
+            resumed = ckpt.load(opts.checkpoint_dir, opts)
+        if resumed is not None:
+            ck_lanes, ck_counts, skip_reads = resumed
+            U = len(ck_counts)
+            while U + reads_per_chunk * (line_length - k + 1) > table_slots:
+                table_slots *= 2
+            init_lanes = np.zeros((table_slots, NL), np.uint32)
+            init_counts = np.zeros((table_slots,), np.uint32)
+            init_lanes[:U] = ck_lanes
+            init_counts[:U] = ck_counts
+            table = jax.device_put(
+                table_ops.CountTable(init_lanes, init_counts, np.int32(U)),
+                self.device,
+            )
+            host_bound = U
+            stats.reads = skip_reads
+            if opts.verbose:
+                print(
+                    f"[engine] resumed checkpoint: {U} records, "
+                    f"{skip_reads} reads absorbed"
+                )
+        else:
+            table = jax.device_put(
+                table_ops.make_table(table_slots, NL), self.device
+            )
         chunk_q: "queue.Queue" = queue.Queue(maxsize=max(opts.prefetch_chunks, 1))
         ingest = threading.Thread(
             target=self._ingest_worker,
-            args=(source, reads_per_chunk, chunk_q, stats),
+            args=(source, reads_per_chunk, chunk_q, stats, skip_reads),
             daemon=True,
         )
         ingest.start()
 
-        host_bound = 0  # worst-case table offset (see ops.table docstring)
         cur_L = line_length
         cur_slots = reads_per_chunk * (cur_L - k + 1)
         while True:
@@ -177,9 +216,35 @@ class CountEngine:
                 table = table_ops.consolidate(table)
                 host_bound = int(jax.device_get(table.offset))
                 stats.consolidations += 1
+                if (
+                    opts.checkpoint_every
+                    and opts.checkpoint_dir
+                    and self._scheduler is None  # spilled state isn't snapshotted
+                    and stats.consolidations % opts.checkpoint_every == 0
+                ):
+                    # The consolidated table contains every chunk enqueued
+                    # so far (stats.reads), making the snapshot exact.
+                    from kmer_counter_tpu import checkpoint as ckpt
+
+                    ckpt.save(
+                        opts.checkpoint_dir,
+                        opts,
+                        np.asarray(jax.device_get(table.lanes[:host_bound])),
+                        np.asarray(jax.device_get(table.counts[:host_bound])),
+                        stats.reads,
+                    )
                 if host_bound + cur_slots > table_slots:
-                    table = self._grow_for(table, host_bound + cur_slots)
-                    table_slots = table.lanes.shape[0]
+                    if (
+                        opts.temp_dir
+                        and table_slots * 2 > self._max_table_slots(table)
+                    ):
+                        # Cardinality outgrew the HBM budget: spill the
+                        # consolidated table as a sorted run and restart
+                        # with an empty table (BASELINE.json config 4).
+                        table, host_bound = self._spill(table, host_bound, stats)
+                    else:
+                        table = self._grow_for(table, host_bound + cur_slots)
+                        table_slots = table.lanes.shape[0]
             dev_reads = jax.device_put(reads, self.device)
             lanes, counts, n_unique = count_chunk(dev_reads, k, opts.canonical)
             table = table_ops.append(table, lanes, counts, n_unique)
@@ -194,9 +259,27 @@ class CountEngine:
         num_unique = int(jax.device_get(table.offset))
         lanes = np.asarray(jax.device_get(table.lanes[:num_unique]))
         counts = np.asarray(jax.device_get(table.counts[:num_unique]))
-        stats.distinct_kmers = num_unique
-        stats.total_kmers = int(counts.sum())
-        dump_table(opts.output_file, lanes, counts)
+        if self._scheduler is not None:
+            # Final table joins the spill runs; the hierarchical host merge
+            # produces the globally sorted output.
+            from kmer_counter_tpu.io import spill as spill_io
+            import os
+
+            stats.spilled_runs += 1
+            self._scheduler.add_run(
+                spill_io.write_run(
+                    os.path.join(opts.temp_dir, "final_table.run"), lanes, counts
+                )
+            )
+            written = self._scheduler.finish(opts.output_file)
+            self._scheduler = None
+            stats.distinct_kmers = written
+            _, counts_all = load_table(opts.output_file, k)
+            stats.total_kmers = int(counts_all.sum())
+        else:
+            stats.distinct_kmers = num_unique
+            stats.total_kmers = int(counts.sum())
+            dump_table(opts.output_file, lanes, counts)
         stats.wall_seconds = time.perf_counter() - t_start
         if opts.verbose:
             print(
@@ -207,6 +290,42 @@ class CountEngine:
                 f"({stats.kmers_per_second/1e6:.2f}M kmers/s)"
             )
         return stats
+
+    def _max_table_slots(self, table) -> int:
+        """Largest table the HBM budget tolerates before spilling: 2x an
+        explicit tableSlots cap, else 4x the budget-planned capacity (the
+        plan leaves half the budget for sort temps)."""
+        if self.opts.table_slots:
+            return 2 * self.opts.table_slots
+        NL = table.lanes.shape[1]
+        return 4 * max(
+            self.opts.memory_limit_bytes // 2 // ((NL + 1) * 4 * 3), 1 << 14
+        )
+
+    def _spill(self, table, num_unique: int, stats):
+        """Dump the consolidated table as a sorted run; reset to empty."""
+        import os
+
+        from kmer_counter_tpu.io import spill as spill_io
+
+        opts = self.opts
+        if self._scheduler is None:
+            self._scheduler = spill_io.MergeScheduler(
+                opts.temp_dir,
+                opts.kmer_length,
+                fan_in=opts.no_of_mergers_at_once,
+                threads=opts.no_of_merge_threads,
+            )
+        lanes = np.asarray(jax.device_get(table.lanes[:num_unique]))
+        counts = np.asarray(jax.device_get(table.counts[:num_unique]))
+        stats.spilled_runs += 1
+        path = os.path.join(opts.temp_dir, f"spill_{stats.spilled_runs:06d}.run")
+        self._scheduler.add_run(spill_io.write_run(path, lanes, counts))
+        if opts.verbose:
+            print(f"[engine] spilled {num_unique} records -> {path}")
+        C, NL = table.lanes.shape
+        fresh = jax.device_put(table_ops.make_table(C, NL), self.device)
+        return fresh, 0
 
     def _grow_for(self, table, needed_slots: int):
         """Double capacity until the next chunk fits (cardinality outgrew
@@ -219,5 +338,148 @@ class CountEngine:
         return table_ops.grow(table, cap)
 
 
+class MeshCountEngine:
+    """Multi-device count engine: the same chunk loop driving a
+    ShardedCounter over a ``data`` mesh (parallel.pipeline), with the final
+    all_to_all prefix merge replacing both host aggregation and disk merge.
+
+    On a multi-host slice each process runs this engine over the global
+    mesh; ingest shards by file round-robin on ``jax.process_index()``.
+    """
+
+    def __init__(self, opts: Options, mesh=None):
+        if opts.input_dir is None:
+            raise ValueError("inputFileLocation is required")
+        if opts.output_file is None:
+            raise ValueError("outputFile is required")
+        from kmer_counter_tpu.parallel.mesh import make_mesh
+
+        self.opts = opts
+        self.mesh = mesh if mesh is not None else make_mesh(
+            opts.mesh_shape[0] if opts.mesh_shape else None
+        )
+
+    def run(self) -> RunStats:
+        from kmer_counter_tpu.parallel.pipeline import ShardedCounter
+
+        opts = self.opts
+        k = opts.kmer_length
+        stats = RunStats()
+        t_start = time.perf_counter()
+        D = self.mesh.devices.size
+
+        source = DirectoryInput(opts.input_dir)
+        usable = [L for L in source.probe_line_lengths() if L >= k]
+        if not usable:
+            dump_table(
+                opts.output_file,
+                np.zeros((0, opts.lanes_per_kmer), np.uint32),
+                np.zeros(0, np.uint32),
+            )
+            stats.wall_seconds = time.perf_counter() - t_start
+            return stats
+        line_length = max(usable)
+        reads_per_chunk, table_slots = plan_chunks(opts, line_length)
+        # Round the global chunk up to a multiple of the mesh size.
+        reads_per_device = max(reads_per_chunk // D, 1)
+        if opts.verbose:
+            print(
+                f"[engine] mesh={D}dev k={k} canonical={opts.canonical} "
+                f"L={line_length} reads/dev/chunk={reads_per_device} "
+                f"table_slots/dev={table_slots // D + 1}"
+            )
+
+        counters: dict[int, ShardedCounter] = {}
+
+        def counter_for(L: int) -> ShardedCounter:
+            if L not in counters:
+                counters[L] = ShardedCounter(
+                    self.mesh,
+                    k,
+                    opts.canonical,
+                    table_slots=max(table_slots // D, 4 * reads_per_device * (L - k + 1)),
+                    reads_per_device=reads_per_device,
+                    line_length=L,
+                )
+            return counters[L]
+
+        chunk_q: "queue.Queue" = queue.Queue(maxsize=max(opts.prefetch_chunks, 1))
+        ingest = threading.Thread(
+            target=CountEngine._ingest_worker,
+            args=(self, source, reads_per_device * D, chunk_q, stats),
+            daemon=True,
+        )
+        ingest.start()
+        while True:
+            item = chunk_q.get()
+            if item is _SENTINEL:
+                break
+            if item.line_length < k:
+                stats.reads += item.n_reads
+                stats.bases += item.n_reads * item.line_length
+                continue
+            counter = counter_for(item.line_length)
+            reads = item.reads
+            want_rows = reads_per_device * D
+            if reads.shape[0] < want_rows:
+                pad = np.zeros(
+                    (want_rows - reads.shape[0], reads.shape[1]), dtype=np.uint8
+                )
+                reads = np.vstack([reads, pad])
+            counter.step(reads)
+            stats.chunks += 1
+            stats.reads += item.n_reads
+            stats.bases += item.n_reads * item.line_length
+        ingest.join()
+
+        # Merge: each per-line-length counter finalizes into a host table;
+        # multiple tables (rare: mixed-length inputs) merge on host.
+        tables = [c.finalize() for c in counters.values()]
+        if not tables:
+            words = np.zeros((0, opts.words_per_kmer), np.uint64)
+            counts = np.zeros(0, np.uint32)
+        elif len(tables) == 1:
+            lanes, counts = tables[0]
+            words = records.lanes_to_words(lanes)
+        else:
+            merged: dict = {}
+            for lanes, counts_i in tables:
+                for w, c in zip(
+                    records.lanes_to_words(lanes).tolist(), counts_i.tolist()
+                ):
+                    key = tuple(w)
+                    merged[key] = merged.get(key, 0) + int(c)
+            keys = sorted(merged)
+            words = np.array(keys, dtype=np.uint64).reshape(len(keys), -1)
+            counts = np.array([merged[key] for key in keys], np.uint32)
+
+        stats.distinct_kmers = len(words)
+        stats.total_kmers = int(counts.sum())
+        from kmer_counter_tpu.records import serialize_table
+
+        data = serialize_table(words, np.asarray(counts, np.uint32))
+        import os
+
+        parent = os.path.dirname(opts.output_file)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        with open(opts.output_file, "wb") as fh:
+            fh.write(data)
+        stats.consolidations = sum(1 for _ in counters)
+        stats.wall_seconds = time.perf_counter() - t_start
+        if opts.verbose:
+            print(
+                f"[engine] reads={stats.reads} distinct={stats.distinct_kmers} "
+                f"total={stats.total_kmers} wall={stats.wall_seconds:.2f}s "
+                f"({stats.kmers_per_second/1e6:.2f}M kmers/s over {D} devices)"
+            )
+        return stats
+
+
 def run_count(opts: Options) -> RunStats:
+    """Dispatch to the mesh engine when more than one device is visible (or
+    an explicit mesh shape is configured); single-device engine otherwise."""
+    n_dev = len(jax.devices())
+    if opts.mesh_shape is not None or n_dev > 1:
+        return MeshCountEngine(opts).run()
     return CountEngine(opts).run()

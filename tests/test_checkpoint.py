@@ -1,0 +1,108 @@
+"""Checkpoint/resume and metrics tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from kmer_counter_tpu import checkpoint, golden, records
+from kmer_counter_tpu.config import Options
+from kmer_counter_tpu.metrics import Metrics, SizeMonitor
+
+from tests.test_engine import golden_dir_table, run_engine
+from tests.test_ingest import random_seqs, write_fastq
+
+
+def test_checkpoint_save_load_roundtrip(tmp_path, rng):
+    opts = Options(kmer_length=15, input_dir=str(tmp_path), output_file="x")
+    counter = golden.count_reads(
+        ["".join(rng.choice(list("ACGT"), 40)) for _ in range(6)], 15
+    )
+    words, counts = golden.table_from_counter(counter)
+    lanes = records.words_to_lanes(words)
+    checkpoint.save(str(tmp_path / "ck"), opts, lanes, counts, reads_absorbed=6)
+    out = checkpoint.load(str(tmp_path / "ck"), opts)
+    assert out is not None
+    l2, c2, absorbed = out
+    np.testing.assert_array_equal(l2, lanes)
+    np.testing.assert_array_equal(c2, counts)
+    assert absorbed == 6
+
+
+def test_checkpoint_config_mismatch_ignored(tmp_path, rng):
+    opts = Options(kmer_length=15, input_dir=str(tmp_path), output_file="x")
+    words = records.pack_codes(np.zeros((1, 15), int), 15)
+    checkpoint.save(
+        str(tmp_path / "ck"), opts, records.words_to_lanes(words),
+        np.array([1], np.uint32), 3,
+    )
+    other = Options(kmer_length=17, input_dir=str(tmp_path), output_file="x")
+    assert checkpoint.load(str(tmp_path / "ck"), other) is None
+    assert checkpoint.load(str(tmp_path / "missing"), opts) is None
+
+
+def test_engine_writes_checkpoints(tmp_path, rng):
+    (tmp_path / "in").mkdir()
+    write_fastq(tmp_path / "in" / "a.fastq", random_seqs(rng, 64, 40))
+    ck = tmp_path / "ck"
+    (words, counts), stats = run_engine(
+        tmp_path, 15, reads_per_chunk=4, table_slots=600,
+        checkpoint_dir=str(ck), checkpoint_every=1,
+    )
+    assert (ck / "checkpoint.json").exists()
+    manifest = json.loads((ck / "checkpoint.json").read_text())
+    assert 0 < manifest["reads_absorbed"] <= 64
+    # Output still exact.
+    want_words, want_counts = golden_dir_table(tmp_path, 15)
+    np.testing.assert_array_equal(words, want_words)
+
+
+def test_engine_resume_from_checkpoint(tmp_path, rng):
+    # Simulate a crash after file a was absorbed: checkpoint holds golden(a),
+    # resume must process only b and produce golden(a)+golden(b).
+    (tmp_path / "in").mkdir()
+    seqs_a = random_seqs(rng, 10, 40)
+    seqs_b = random_seqs(rng, 12, 40)
+    write_fastq(tmp_path / "in" / "a.fastq", seqs_a)
+    write_fastq(tmp_path / "in" / "b.fastq", seqs_b)
+    opts = Options(
+        kmer_length=15,
+        input_dir=str(tmp_path / "in"),
+        output_file=str(tmp_path / "out.bin"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        verbose=0,
+    )
+    counter_a = golden.count_reads(seqs_a, 15)
+    words_a, counts_a = golden.table_from_counter(counter_a)
+    checkpoint.save(
+        str(tmp_path / "ck"), opts,
+        records.words_to_lanes(words_a), counts_a, reads_absorbed=10,
+    )
+    from kmer_counter_tpu.engine import CountEngine
+
+    stats = CountEngine(opts).run()
+    assert stats.reads == 22  # 10 resumed + 12 processed
+    from kmer_counter_tpu.io.dump import load_table
+
+    words, counts = load_table(str(tmp_path / "out.bin"), 15)
+    want_words, want_counts = golden_dir_table(tmp_path, 15)
+    np.testing.assert_array_equal(words, want_words)
+    np.testing.assert_array_equal(counts, want_counts)
+
+
+def test_metrics_and_monitor(capsys):
+    m = Metrics()
+    m.count("chunks")
+    m.count("chunks", 2)
+    with m.timer("stage"):
+        pass
+    snap = m.snapshot()
+    assert snap["counters"]["chunks"] == 3
+    assert snap["timer_calls"]["stage"] == 1
+    assert "stage" in json.loads(m.report())["timers_s"]
+    import time
+
+    with SizeMonitor(lambda: "gauge=42", interval_s=0.05):
+        time.sleep(0.2)
+    assert "gauge=42" in capsys.readouterr().out
