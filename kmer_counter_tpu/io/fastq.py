@@ -142,7 +142,12 @@ class DirectoryInput:
     the reference, which serves each chunk from the current front reader).
     """
 
-    def __init__(self, directory: str, extensions=(".fastq", ".fq", ".txt")):
+    def __init__(
+        self,
+        directory: str,
+        extensions=(".fastq", ".fq", ".txt"),
+        use_native: bool | None = None,
+    ):
         if not os.path.isdir(directory):
             raise FileNotFoundError(f"input directory not found: {directory}")
         names = sorted(
@@ -155,7 +160,21 @@ class DirectoryInput:
             raise FileNotFoundError(f"no FASTQ files in {directory}")
         self.paths = [os.path.join(directory, n) for n in names]
         self._index = 0
-        self._reader: FASTQReader | None = FASTQReader(self.paths[0])
+        self._factory = self._pick_factory(use_native)
+        self._reader = self._factory(self.paths[0])
+
+    @staticmethod
+    def _pick_factory(use_native: bool | None):
+        """Native C++ parser when built (native/kmer_io.cpp), else Python."""
+        if use_native is False:
+            return FASTQReader
+        from kmer_counter_tpu.io import native
+
+        if native.available():
+            return native.NativeFASTQReader
+        if use_native:
+            raise RuntimeError("native library not built (make -C native)")
+        return FASTQReader
 
     @property
     def line_length(self) -> int | None:
@@ -170,7 +189,7 @@ class DirectoryInput:
             if i == self._index and self._reader is not None:
                 lengths.append(self._reader.line_length)
                 continue
-            probe = FASTQReader(path)
+            probe = self._factory(path)
             lengths.append(probe.line_length)
             probe.close()
         return lengths
@@ -183,7 +202,7 @@ class DirectoryInput:
             self._reader.close()
             self._index += 1
             if self._index < len(self.paths):
-                self._reader = FASTQReader(self.paths[self._index])
+                self._reader = self._factory(self.paths[self._index])
             else:
                 self._reader = None
         return None

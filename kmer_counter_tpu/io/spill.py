@@ -116,11 +116,22 @@ def write_run(path: str, lanes: np.ndarray, counts: np.ndarray) -> str:
     return path
 
 
-def merge_runs(paths: list[str], out_path: str, k: int) -> int:
+def merge_runs(
+    paths: list[str], out_path: str, k: int, use_native: bool | None = None
+) -> int:
     """Heap-based k-way merge of sorted runs; returns records written.
 
     Equal keys across runs have their counts summed (the tie-collection of
-    KMerFileMerger.cpp:55-82)."""
+    KMerFileMerger.cpp:55-82).  Dispatches to the C++ merger
+    (native/kmer_io.cpp kc_merge_runs) when built, unless
+    ``use_native=False``."""
+    if use_native is not False:
+        from kmer_counter_tpu.io import native
+
+        if native.available():
+            return native.native_merge_runs(paths, out_path, k)
+        if use_native:
+            raise RuntimeError("native library not built (make -C native)")
     readers = [RunReader(p, k) for p in paths]
     heap = []
     for i, r in enumerate(readers):

@@ -1,0 +1,305 @@
+// kmer_io — native host runtime for the TPU k-mer counting engine.
+//
+// C++ replacements for the hot host-side paths, exposed through a plain C
+// ABI consumed via ctypes (kmer_counter_tpu/io/native.py):
+//
+//   * FASTQ chunk reader: streams a FASTQ file and fills dense row-major
+//     [max_reads, line_length] uint8 matrices — the native twin of
+//     kmer_counter_tpu.io.fastq.FASTQReader (itself the re-design of the
+//     reference's FASTQFileReader.cpp:49-89 getline loop).  Strict 4-line
+//     parsing; CR stripped; short rows zero-padded.
+//   * K-way merge of sorted record runs: the native twin of
+//     kmer_counter_tpu.io.spill.merge_runs (reference:
+//     KMerFileMerger.cpp:49-135 + SortedKMerFile.cpp:29-82), using a
+//     loser-tree-ish binary heap instead of the reference's linear scan.
+//
+// Record format (SURVEY.md §2.2): ceil(k/32) uint64 little-endian key words
+// (MSB-first 2-bit bases) followed by a uint32 count.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr size_t kReadBlock = 8u << 20;
+
+struct FastqReader {
+  FILE* f = nullptr;
+  std::vector<unsigned char> buf;   // unparsed bytes
+  size_t buf_pos = 0;               // parse cursor
+  long line_length = 0;
+  long phase = 0;                   // line index mod 4
+  bool eof = false;
+  std::string error;
+
+  // a parsed-but-undelivered sequence line (when chunk filled mid-block)
+  std::vector<unsigned char> pending;
+  bool has_pending = false;
+};
+
+// Read more bytes into buf (compacting consumed prefix). Returns false at EOF
+// with nothing new.
+bool refill(FastqReader* r) {
+  if (r->buf_pos > 0) {
+    r->buf.erase(r->buf.begin(), r->buf.begin() + r->buf_pos);
+    r->buf_pos = 0;
+  }
+  if (r->eof) return false;
+  size_t old = r->buf.size();
+  r->buf.resize(old + kReadBlock);
+  size_t got = fread(r->buf.data() + old, 1, kReadBlock, r->f);
+  r->buf.resize(old + got);
+  if (got == 0) {
+    r->eof = true;
+    // final unterminated line counts as a line
+    if (!r->buf.empty() && r->buf.back() != '\n') r->buf.push_back('\n');
+    return !r->buf.empty();
+  }
+  return true;
+}
+
+// Next complete line [start, end) within buf, or false if none buffered.
+bool next_line(FastqReader* r, size_t* start, size_t* end) {
+  const unsigned char* base = r->buf.data();
+  size_t avail = r->buf.size() - r->buf_pos;
+  const void* nl = memchr(base + r->buf_pos, '\n', avail);
+  if (nl == nullptr) return false;
+  *start = r->buf_pos;
+  *end = static_cast<const unsigned char*>(nl) - base;
+  r->buf_pos = *end + 1;
+  if (*end > *start && base[*end - 1] == '\r') --*end;  // strip CR
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* kc_open(const char* path) {
+  FastqReader* r = new FastqReader();
+  r->f = fopen(path, "rb");
+  if (r->f == nullptr) {
+    delete r;
+    return nullptr;
+  }
+  // Probe the first record's sequence line for the fixed read length
+  // (FASTQFileReader.cpp:28-38 semantics).
+  while (true) {
+    size_t s, e;
+    if (next_line(r, &s, &e)) {
+      if (r->phase == 0 && (e == s || r->buf[s] != '@')) {
+        fclose(r->f);
+        delete r;
+        return nullptr;
+      }
+      if (r->phase == 1) {
+        r->line_length = static_cast<long>(e - s);
+        break;
+      }
+      ++r->phase;
+      continue;
+    }
+    if (!refill(r)) break;
+  }
+  if (r->line_length <= 0) {
+    fclose(r->f);
+    delete r;
+    return nullptr;
+  }
+  // rewind: simplest is to reopen
+  fclose(r->f);
+  r->f = fopen(path, "rb");
+  r->buf.clear();
+  r->buf_pos = 0;
+  r->phase = 0;
+  r->eof = false;
+  return r;
+}
+
+long kc_line_length(void* h) {
+  return static_cast<FastqReader*>(h)->line_length;
+}
+
+// Fill out[max_reads * line_length] row-major; returns reads delivered
+// (0 at EOF, -1 on error).  Rows shorter than line_length are zero-padded;
+// longer rows are an error (fixed-line-length contract).
+long kc_read_chunk(void* h, unsigned char* out, long max_reads) {
+  FastqReader* r = static_cast<FastqReader*>(h);
+  const long L = r->line_length;
+  long delivered = 0;
+  memset(out, 0, static_cast<size_t>(max_reads) * L);
+  if (r->has_pending) {
+    memcpy(out, r->pending.data(), r->pending.size());
+    r->has_pending = false;
+    ++delivered;
+  }
+  while (delivered < max_reads) {
+    size_t s, e;
+    if (!next_line(r, &s, &e)) {
+      if (!refill(r)) break;
+      continue;
+    }
+    bool is_seq = (r->phase & 3) == 1;
+    r->phase = (r->phase + 1) & 3;
+    if (!is_seq) continue;
+    long len = static_cast<long>(e - s);
+    if (len > L) return -1;
+    memcpy(out + static_cast<size_t>(delivered) * L, r->buf.data() + s, len);
+    ++delivered;
+  }
+  return delivered;
+}
+
+void kc_close(void* h) {
+  FastqReader* r = static_cast<FastqReader*>(h);
+  if (r->f != nullptr) fclose(r->f);
+  delete r;
+}
+
+// ---------------------------------------------------------------------------
+// K-way merge of sorted record runs.
+
+namespace {
+
+struct RunCursor {
+  FILE* f = nullptr;
+  std::vector<uint64_t> words;  // buffered records: n * W words
+  std::vector<uint32_t> counts;
+  size_t pos = 0;
+  int W = 0;
+
+  bool fill() {
+    pos = 0;
+    words.clear();
+    counts.clear();
+    if (f == nullptr) return false;
+    constexpr size_t kRecs = 1u << 16;
+    size_t rec_bytes = W * 8 + 4;
+    std::vector<unsigned char> raw(kRecs * rec_bytes);
+    size_t got = fread(raw.data(), 1, raw.size(), f);
+    size_t n = got / rec_bytes;
+    if (n == 0) {
+      fclose(f);
+      f = nullptr;
+      return false;
+    }
+    words.resize(n * W);
+    counts.resize(n);
+    for (size_t i = 0; i < n; ++i) {
+      memcpy(&words[i * W], &raw[i * rec_bytes], W * 8);
+      memcpy(&counts[i], &raw[i * rec_bytes + W * 8], 4);
+    }
+    return true;
+  }
+
+  bool next(const uint64_t** key, uint64_t* count) {
+    if (pos >= counts.size() && !fill()) return false;
+    *key = &words[pos * W];
+    *count = counts[pos];
+    ++pos;
+    return true;
+  }
+};
+
+inline int cmp_key(const uint64_t* a, const uint64_t* b, int W) {
+  for (int w = 0; w < W; ++w) {
+    if (a[w] < b[w]) return -1;
+    if (a[w] > b[w]) return 1;
+  }
+  return 0;
+}
+
+struct HeapItem {
+  std::vector<uint64_t> key;
+  uint64_t count;
+  int src;
+};
+
+struct HeapCmp {
+  int W;
+  bool operator()(const HeapItem& a, const HeapItem& b) const {
+    return cmp_key(a.key.data(), b.key.data(), W) > 0;  // min-heap
+  }
+};
+
+}  // namespace
+
+// Merge n sorted run files into out_path; duplicate keys' counts are summed
+// (saturating at uint32 max). Returns records written, or -1 on error.
+long kc_merge_runs(const char** paths, int n, const char* out_path, int k) {
+  const int W = (k + 31) / 32;
+  std::vector<RunCursor> runs(n);
+  for (int i = 0; i < n; ++i) {
+    runs[i].W = W;
+    runs[i].f = fopen(paths[i], "rb");
+    if (runs[i].f == nullptr) return -1;
+  }
+  FILE* out = fopen(out_path, "wb");
+  if (out == nullptr) return -1;
+
+  HeapCmp cmp{W};
+  std::vector<HeapItem> heap;
+  for (int i = 0; i < n; ++i) {
+    const uint64_t* key;
+    uint64_t c;
+    if (runs[i].next(&key, &c)) {
+      heap.push_back({std::vector<uint64_t>(key, key + W), c, i});
+    }
+  }
+  std::make_heap(heap.begin(), heap.end(), cmp);
+
+  const size_t rec_bytes = W * 8 + 4;
+  std::vector<unsigned char> obuf;
+  obuf.reserve((1u << 16) * rec_bytes);
+  std::vector<uint64_t> cur_key(W);
+  uint64_t cur_count = 0;
+  bool have_cur = false;
+  long written = 0;
+
+  auto emit = [&]() {
+    size_t off = obuf.size();
+    obuf.resize(off + rec_bytes);
+    memcpy(&obuf[off], cur_key.data(), W * 8);
+    uint32_t c32 =
+        cur_count > 0xFFFFFFFFull ? 0xFFFFFFFFu : static_cast<uint32_t>(cur_count);
+    memcpy(&obuf[off + W * 8], &c32, 4);
+    ++written;
+    if (obuf.size() >= (1u << 16) * rec_bytes) {
+      fwrite(obuf.data(), 1, obuf.size(), out);
+      obuf.clear();
+    }
+  };
+
+  while (!heap.empty()) {
+    std::pop_heap(heap.begin(), heap.end(), cmp);
+    HeapItem item = std::move(heap.back());
+    heap.pop_back();
+    if (have_cur && cmp_key(item.key.data(), cur_key.data(), W) == 0) {
+      cur_count += item.count;
+    } else {
+      if (have_cur) emit();
+      memcpy(cur_key.data(), item.key.data(), W * 8);
+      cur_count = item.count;
+      have_cur = true;
+    }
+    const uint64_t* key;
+    uint64_t c;
+    if (runs[item.src].next(&key, &c)) {
+      memcpy(item.key.data(), key, W * 8);
+      item.count = c;
+      heap.push_back(std::move(item));
+      std::push_heap(heap.begin(), heap.end(), cmp);
+    }
+  }
+  if (have_cur) emit();
+  if (!obuf.empty()) fwrite(obuf.data(), 1, obuf.size(), out);
+  fclose(out);
+  return written;
+}
+
+}  // extern "C"
