@@ -62,31 +62,35 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from kmer_counter_tpu.ops import count_chunk
     from kmer_counter_tpu.ops import table as table_ops
     from kmer_counter_tpu.records import lanes_per_kmer
 
     rng = np.random.default_rng(0)
-    reads = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(n_reads, L))
+    # Genome-like workload: reads sampled from a fixed reference sequence so
+    # k-mer multiplicity matches real coverage (~reads*L/genome_len x),
+    # exercising consolidation exactly as the engine does.
+    genome_len = int(os.environ.get("BENCH_GENOME", 1_000_000))
+    genome = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=genome_len)
+    starts = rng.integers(0, genome_len - L, size=n_reads)
+    reads = genome[starts[:, None] + np.arange(L)[None, :]]
     P = L - k + 1
     kmers_per_chunk = n_reads * P
+    capacity = 4 * kmers_per_chunk
     device = jax.devices()[0]
     print(
         f"[bench] device={device} reads={n_reads} L={L} k={k} "
-        f"canonical={canonical} kmers/chunk={kmers_per_chunk}",
+        f"canonical={canonical} kmers/chunk={kmers_per_chunk} "
+        f"table={capacity} slots",
         file=sys.stderr,
     )
 
-    # Capacity for warmup + all timed appends without consolidation.
     table = jax.device_put(
-        table_ops.make_table((3 * iters + 2) * kmers_per_chunk, lanes_per_kmer(k)),
-        device,
+        table_ops.make_table(capacity, lanes_per_kmer(k)), device
     )
     dev_reads = jax.device_put(jnp.asarray(reads), device)
+    n_scalar = jnp.int32(kmers_per_chunk)
 
-    def step(table):
-        lanes, counts, n = count_chunk(dev_reads, k, canonical)
-        return table_ops.append(table, lanes, counts, n)
+    from kmer_counter_tpu.ops import extract_chunk
 
     def drain(table):
         # Force full completion: fetch a scalar that depends on the whole
@@ -94,13 +98,26 @@ def main():
         # remote-tunnel backend, giving wildly optimistic timings.)
         return int(jax.device_get(table.offset))
 
-    # Warmup / compile.
+    state = {"bound": 0, "consolidations": 0}
+
+    def step(table):
+        # The engine's steady-state loop: consolidate when the next raw
+        # append would overflow, then extract + append (no per-chunk sort).
+        if state["bound"] + kmers_per_chunk > capacity:
+            table = table_ops.consolidate(table)
+            state["bound"] = drain(table)
+            state["consolidations"] += 1
+        lanes, counts = extract_chunk(dev_reads, k, canonical)
+        table = table_ops.append(table, lanes, counts, n_scalar)
+        state["bound"] += kmers_per_chunk
+        return table
+
+    # Warmup / compile (extract, append, consolidate all compiled here).
     t0 = time.perf_counter()
-    table = step(table)
+    for _ in range(4):
+        table = step(table)
     drain(table)
     compile_s = time.perf_counter() - t0
-    table = table_ops.consolidate(table)
-    drain(table)
 
     best = float("inf")
     for _ in range(3):
@@ -111,6 +128,7 @@ def main():
         best = min(best, time.perf_counter() - t0)
     dt = best
     device_tput = iters * kmers_per_chunk / dt
+    print(f"[bench] consolidations={state['consolidations']}", file=sys.stderr)
     print(
         f"[bench] compile={compile_s:.1f}s steady={dt/iters*1e3:.1f}ms/chunk "
         f"-> {device_tput/1e6:.1f}M kmers/s",

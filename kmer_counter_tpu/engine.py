@@ -28,8 +28,14 @@ from kmer_counter_tpu import records
 from kmer_counter_tpu.config import Options
 from kmer_counter_tpu.io.dump import dump_table, load_table
 from kmer_counter_tpu.io.fastq import DirectoryInput
-from kmer_counter_tpu.ops import count_chunk
+from kmer_counter_tpu.ops import extract_chunk
 from kmer_counter_tpu.ops import table as table_ops
+
+
+def jnp_int32(x: int):
+    import jax.numpy as jnp
+
+    return jnp.int32(x)
 
 _SENTINEL = object()
 
@@ -246,8 +252,10 @@ class CountEngine:
                         table = self._grow_for(table, host_bound + cur_slots)
                         table_slots = table.lanes.shape[0]
             dev_reads = jax.device_put(reads, self.device)
-            lanes, counts, n_unique = count_chunk(dev_reads, k, opts.canonical)
-            table = table_ops.append(table, lanes, counts, n_unique)
+            lanes, counts = extract_chunk(dev_reads, k, opts.canonical)
+            table = table_ops.append(
+                table, lanes, counts, jnp_int32(cur_slots)
+            )
             host_bound += cur_slots
             stats.chunks += 1
             stats.reads += item.n_reads

@@ -13,11 +13,12 @@ TPU-native replacements for the reference's CUDA stages (GPUHandler.cu):
 from kmer_counter_tpu.ops.encode import encode_reads
 from kmer_counter_tpu.ops.extract import extract_kmer_lanes
 from kmer_counter_tpu.ops.sortcount import sort_reduce
-from kmer_counter_tpu.ops.pipeline import count_chunk
+from kmer_counter_tpu.ops.pipeline import count_chunk, extract_chunk
 
 __all__ = [
     "encode_reads",
     "extract_kmer_lanes",
     "sort_reduce",
     "count_chunk",
+    "extract_chunk",
 ]

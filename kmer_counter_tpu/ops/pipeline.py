@@ -20,6 +20,25 @@ from kmer_counter_tpu.ops.sortcount import sort_reduce
 
 
 @partial(jax.jit, static_argnames=("k", "canonical"))
+def extract_chunk(
+    reads: jnp.ndarray, k: int, canonical: bool = False
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Extract one chunk's raw k-mer records — no sorting.
+
+    Returns (lanes ``[R*(L-k+1), NL] uint32``, counts ``[R*(L-k+1)] uint32``
+    with count 1 for valid windows, 0 for masked ones).  This is the hot
+    per-chunk op in the steady-state engine loop: records append to the HBM
+    table unsorted and *all* duplicate-collapse work happens in the
+    amortized consolidation sort (ops.table.consolidate), which profiling
+    shows is strictly cheaper than sorting every chunk.
+    """
+    codes, valid = encode_reads(reads)
+    lanes, wvalid = extract_kmer_lanes(codes, valid, k, canonical)
+    R, P, NL = lanes.shape
+    return lanes.reshape(R * P, NL), wvalid.reshape(R * P).astype(jnp.uint32)
+
+
+@partial(jax.jit, static_argnames=("k", "canonical"))
 def count_chunk(
     reads: jnp.ndarray, k: int, canonical: bool = False
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

@@ -7,13 +7,31 @@ reduce — exists but is commented out (GPUHandler.cu:300-327 sortKmers,
 :340-360 reduceKMers, call site :456-458).  Hash insertion does not
 translate to TPU (data-dependent scatter chains), but sort-count is a
 natural fit: ``jax.lax.sort`` does a multi-operand lexicographic sort over
-the uint32 key lanes, and the duplicate-collapse becomes a vectorized
-boundary-mask + segment-sum with fully static shapes.
+the uint32 key lanes, and the duplicate-collapse becomes vectorized
+boundary/cumsum arithmetic with fully static shapes.
 
-Empty/invalid slots are carried as count==0 and sink to the end of the sort
-via a leading "invalid" key operand, so one primitive handles both raw
-window streams (counts ∈ {0,1}) and accumulated partial tables (arbitrary
-counts) — which makes table consolidation (ops.table) the same op.
+The implementation is deliberately **scatter-free** — XLA scatter on TPU
+measured ~4x the cost of the sort itself — using three tricks:
+
+  1. Empty slots (count 0) have their key lanes replaced by the all-ones
+     sentinel, so they sort to the end and coalesce into (at most) one
+     trailing group whose count sums to 0; a final adjustment drops that
+     group from ``num_unique``.  No separate validity sort key is needed.
+  2. Per-segment totals come from an (exclusive) cumulative sum of the
+     sorted counts: the value at each segment's first row is the segment's
+     start offset, and consecutive compacted start offsets difference into
+     exact segment totals (uint32 wraparound cancels in the subtraction).
+  3. Compaction (dense unique rows) is one more ``lax.sort`` keyed by
+     ``segment_id if boundary else N`` — a permutation XLA sorts far
+     faster than it scatters.
+
+Empty/invalid slots carry count==0 throughout, so one primitive handles
+both raw window streams (counts ∈ {0,1}) and accumulated partial tables
+(arbitrary counts) — table consolidation (ops.table) is the same op.
+
+Contract: rows [0, num_unique) hold distinct keys sorted ascending with
+their summed counts; rows at and past num_unique have count 0 and
+*unspecified* key lanes (every consumer must gate on count > 0).
 """
 
 from __future__ import annotations
@@ -28,45 +46,57 @@ def sort_reduce(
     """Collapse duplicate keys by sorting and summing counts.
 
     Args:
-      lanes: ``[N, NL] uint32`` key lanes; rows with count 0 are ignored.
+      lanes: ``[N, NL] uint32`` key lanes; rows with count 0 are ignored
+        (their lane content is irrelevant).
       counts: ``[N] uint32`` per-row counts (0 = empty slot).
 
     Returns:
       (unique_lanes ``[N, NL]``, unique_counts ``[N]``, num_unique scalar):
-      distinct keys sorted ascending in rows [0, num_unique), zero-filled
-      rows with count 0 after that.
+      distinct keys sorted ascending in rows [0, num_unique); rows past
+      that have count 0 and unspecified lanes.
     """
     N, NL = lanes.shape
+    counts = counts.astype(jnp.uint32)
     valid = counts > 0
-    invalid_key = (~valid).astype(jnp.uint32)
-    operands = (
-        invalid_key,
-        *(lanes[:, i] for i in range(NL)),
-        counts.astype(jnp.uint32),
-    )
-    sorted_ops = jax.lax.sort(operands, dimension=0, num_keys=NL + 1)
-    s_lanes = jnp.stack(sorted_ops[1 : NL + 1], axis=-1)
-    s_counts = sorted_ops[NL + 1]
-    s_valid = sorted_ops[0] == 0
 
-    # Boundary mask: first row of each run of equal keys (valid rows only).
+    # (1) sentinel: empty rows become all-ones keys -> sort to the end.
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    eff = jnp.where(valid[:, None], lanes, sentinel)
+
+    operands = (*(eff[:, i] for i in range(NL)), counts)
+    sorted_ops = jax.lax.sort(operands, dimension=0, num_keys=NL)
+    s_lanes = jnp.stack(sorted_ops[:NL], axis=-1)
+    s_counts = sorted_ops[NL]
+
+    # Segment boundaries: first row of each run of equal keys.
     prev_differs = jnp.any(s_lanes[1:] != s_lanes[:-1], axis=-1)
     boundary = jnp.concatenate([jnp.ones((1,), dtype=bool), prev_differs])
-    boundary = boundary & s_valid
+    seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    U = seg[-1] + 1  # segments incl. a possible trailing sentinel group
 
-    seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1  # -1 for leading invalids
-    num_unique = seg[-1] + 1 if N > 0 else jnp.int32(0)
-    num_unique = jnp.maximum(num_unique, 0).astype(jnp.int32)
+    # (2) exclusive cumsum: value at a segment's first row == segment start.
+    csum = jnp.cumsum(s_counts)
+    total = csum[-1]
+    starts = csum - s_counts
 
-    seg_ids = jnp.where(s_valid, seg, N)  # invalids dropped (out of bounds)
-    unique_counts = (
-        jnp.zeros((N,), dtype=jnp.uint32)
-        .at[seg_ids]
-        .add(s_counts, mode="drop")
-    )
-    unique_lanes = (
-        jnp.zeros((N, NL), dtype=jnp.uint32)
-        .at[jnp.where(boundary, seg, N)]
-        .set(s_lanes, mode="drop")
-    )
-    return unique_lanes, unique_counts, num_unique
+    # (3) compaction by sort: boundary rows get their (unique, ascending)
+    # segment id as key, everything else key N.
+    comp_key = jnp.where(boundary, seg, N)
+    comp_ops = (comp_key, *(s_lanes[:, i] for i in range(NL)), starts)
+    comp = jax.lax.sort(comp_ops, dimension=0, num_keys=1)
+    u_lanes = jnp.stack(comp[1 : NL + 1], axis=-1)
+    u_starts = comp[NL + 1]
+
+    idx = jnp.arange(N, dtype=jnp.int32)
+    in_range = idx < U
+    s_fixed = jnp.where(in_range, u_starts, total)
+    s_next = jnp.concatenate([s_fixed[1:], total[None]])
+    u_counts = jnp.where(in_range, s_next - s_fixed, jnp.uint32(0))
+
+    # Drop the trailing all-sentinel group (its count summed to 0).  A
+    # genuine all-T key group that absorbed sentinels keeps count > 0 and
+    # is (correctly) retained.
+    last_count = jnp.take(u_counts, jnp.maximum(U - 1, 0))
+    num_unique = jnp.maximum(U - jnp.where(last_count == 0, 1, 0), 0)
+    num_unique = num_unique.astype(jnp.int32)
+    return u_lanes, u_counts, num_unique

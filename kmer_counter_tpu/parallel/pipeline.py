@@ -88,16 +88,17 @@ class ShardedCounter:
         mesh = self.mesh
 
         def local_step(lanes, counts, offset, reads):
+            # Raw extract + append — no per-chunk sort; duplicate-collapse
+            # happens in the amortized consolidation (see ops.pipeline
+            # extract_chunk for the rationale).
             codes, valid = encode_reads(reads)
             win_lanes, win_valid = extract_kmer_lanes(codes, valid, k, canonical)
             R, Pw, NL = win_lanes.shape
-            c_lanes, c_counts, c_unique = sort_reduce(
-                win_lanes.reshape(R * Pw, NL),
-                win_valid.reshape(R * Pw).astype(jnp.uint32),
-            )
+            c_lanes = win_lanes.reshape(R * Pw, NL)
+            c_counts = win_valid.reshape(R * Pw).astype(jnp.uint32)
             lanes = jax.lax.dynamic_update_slice(lanes, c_lanes, (offset[0], 0))
             counts = jax.lax.dynamic_update_slice(counts, c_counts, (offset[0],))
-            return lanes, counts, offset + c_unique
+            return lanes, counts, offset + jnp.int32(R * Pw)
 
         fn = shard_map(
             local_step,
