@@ -166,9 +166,9 @@ class CountEngine:
             U = len(ck_counts)
             while U + reads_per_chunk * (line_length - k + 1) > table_slots:
                 table_slots *= 2
-            init_lanes = np.zeros((table_slots, NL), np.uint32)
+            init_lanes = np.zeros((NL, table_slots), np.uint32)
             init_counts = np.zeros((table_slots,), np.uint32)
-            init_lanes[:U] = ck_lanes
+            init_lanes[:, :U] = ck_lanes.T  # host tables are record-major
             init_counts[:U] = ck_counts
             table = jax.device_put(
                 table_ops.CountTable(init_lanes, init_counts, np.int32(U)),
@@ -235,7 +235,7 @@ class CountEngine:
                     ckpt.save(
                         opts.checkpoint_dir,
                         opts,
-                        np.asarray(jax.device_get(table.lanes[:host_bound])),
+                        np.asarray(jax.device_get(table.lanes[:, :host_bound])).T,
                         np.asarray(jax.device_get(table.counts[:host_bound])),
                         stats.reads,
                     )
@@ -250,7 +250,7 @@ class CountEngine:
                         table, host_bound = self._spill(table, host_bound, stats)
                     else:
                         table = self._grow_for(table, host_bound + cur_slots)
-                        table_slots = table.lanes.shape[0]
+                        table_slots = table.lanes.shape[1]
             dev_reads = jax.device_put(reads, self.device)
             lanes, counts = extract_chunk(dev_reads, k, opts.canonical)
             table = table_ops.append(
@@ -265,7 +265,7 @@ class CountEngine:
         table = table_ops.consolidate(table)
         stats.consolidations += 1
         num_unique = int(jax.device_get(table.offset))
-        lanes = np.asarray(jax.device_get(table.lanes[:num_unique]))
+        lanes = np.asarray(jax.device_get(table.lanes[:, :num_unique])).T
         counts = np.asarray(jax.device_get(table.counts[:num_unique]))
         if self._scheduler is not None:
             # Final table joins the spill runs; the hierarchical host merge
@@ -305,7 +305,7 @@ class CountEngine:
         plan leaves half the budget for sort temps)."""
         if self.opts.table_slots:
             return 2 * self.opts.table_slots
-        NL = table.lanes.shape[1]
+        NL = table.lanes.shape[0]
         return 4 * max(
             self.opts.memory_limit_bytes // 2 // ((NL + 1) * 4 * 3), 1 << 14
         )
@@ -324,21 +324,21 @@ class CountEngine:
                 fan_in=opts.no_of_mergers_at_once,
                 threads=opts.no_of_merge_threads,
             )
-        lanes = np.asarray(jax.device_get(table.lanes[:num_unique]))
+        lanes = np.asarray(jax.device_get(table.lanes[:, :num_unique])).T
         counts = np.asarray(jax.device_get(table.counts[:num_unique]))
         stats.spilled_runs += 1
         path = os.path.join(opts.temp_dir, f"spill_{stats.spilled_runs:06d}.run")
         self._scheduler.add_run(spill_io.write_run(path, lanes, counts))
         if opts.verbose:
             print(f"[engine] spilled {num_unique} records -> {path}")
-        C, NL = table.lanes.shape
+        NL, C = table.lanes.shape
         fresh = jax.device_put(table_ops.make_table(C, NL), self.device)
         return fresh, 0
 
     def _grow_for(self, table, needed_slots: int):
         """Double capacity until the next chunk fits (cardinality outgrew
         the initial budget — the reference would spill to disk here)."""
-        cap = table.lanes.shape[0]
+        cap = table.lanes.shape[1]
         while cap < needed_slots:
             cap *= 2
         if self.opts.verbose:

@@ -22,12 +22,35 @@ _lib = None
 _load_attempted = False
 
 
+def _try_build():
+    """Best-effort `make -C native` when the checkout has sources but no
+    built library (the .so is not committed)."""
+    import subprocess
+
+    native_dir = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", "native")
+    )
+    if not os.path.exists(os.path.join(native_dir, "Makefile")):
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", native_dir],
+            capture_output=True,
+            timeout=120,
+            check=False,
+        )
+    except Exception:
+        pass
+
+
 def load_library():
     """The loaded CDLL, or None when unavailable."""
     global _lib, _load_attempted
     if _load_attempted:
         return _lib
     _load_attempted = True
+    if not any(os.path.exists(os.path.abspath(p)) for p in _LIB_PATHS):
+        _try_build()
     for path in _LIB_PATHS:
         path = os.path.abspath(path)
         if os.path.exists(path):

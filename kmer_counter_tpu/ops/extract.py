@@ -30,11 +30,13 @@ from kmer_counter_tpu.records import BASES_PER_LANE, lanes_per_kmer
 
 
 def _window_lanes(codes: jnp.ndarray, k: int) -> jnp.ndarray:
-    """codes ``[R, L] uint32`` → per-window key lanes ``[R, P, NL] uint32``.
+    """codes ``[R, L] uint32`` → per-window key lanes ``[NL, R, P] uint32``.
 
     P = L - k + 1 windows per read; NL = 2*ceil(k/32) lanes, MSB-first
     (lane 0 = bases 0..15 of the window in its top bits).  Tail bits past
     base k-1 are zero (the left-aligned layout of SURVEY.md §2.2).
+    Lane-major layout keeps the large window axis minor, matching TPU
+    tiling (a width-NL minor dim would be padded to 128 lanes).
     """
     R, L = codes.shape
     P = L - k + 1
@@ -54,7 +56,7 @@ def _window_lanes(codes: jnp.ndarray, k: int) -> jnp.ndarray:
             shift = 30 - 2 * j
             acc = acc + (codes[:, off : off + P] << jnp.uint32(shift))
         lanes.append(acc)
-    return jnp.stack(lanes, axis=-1)
+    return jnp.stack(lanes, axis=0)
 
 
 def _window_valid(valid: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -68,12 +70,12 @@ def _window_valid(valid: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def _lex_min(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Lanewise lexicographic min over the last axis of two lane stacks."""
-    NL = a.shape[-1]
-    a_lt = jnp.zeros(a.shape[:-1], dtype=bool)
+    """Lexicographic min of two lane-major stacks ``[NL, ...]``."""
+    NL = a.shape[0]
+    a_lt = jnp.zeros(a.shape[1:], dtype=bool)
     for i in reversed(range(NL)):
-        a_lt = jnp.where(a[..., i] == b[..., i], a_lt, a[..., i] < b[..., i])
-    return jnp.where(a_lt[..., None], a, b)
+        a_lt = jnp.where(a[i] == b[i], a_lt, a[i] < b[i])
+    return jnp.where(a_lt[None], a, b)
 
 
 def extract_kmer_lanes(
@@ -91,7 +93,7 @@ def extract_kmer_lanes(
       canonical: if True keys are min(kmer, revcomp(kmer)).
 
     Returns:
-      (lanes ``[R, P, NL] uint32``, window_valid ``[R, P] bool``) with
+      (lanes ``[NL, R, P] uint32``, window_valid ``[R, P] bool``) with
       P = L - k + 1.  k-mers never cross reads (one window set per row),
       matching the reference's per-read sections (GPUHandler.cu:438-439).
     """
@@ -102,6 +104,6 @@ def extract_kmer_lanes(
         # window at position p in the original read corresponds to the
         # window at position P-1-p of the reverse-complemented read.
         rc_codes = (jnp.uint32(3) - codes)[:, ::-1]
-        rc_lanes = _window_lanes(rc_codes, k)[:, ::-1, :]
+        rc_lanes = _window_lanes(rc_codes, k)[:, :, ::-1]
         lanes = _lex_min(lanes, rc_lanes)
     return lanes, wvalid

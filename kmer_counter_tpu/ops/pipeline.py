@@ -25,17 +25,18 @@ def extract_chunk(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Extract one chunk's raw k-mer records — no sorting.
 
-    Returns (lanes ``[R*(L-k+1), NL] uint32``, counts ``[R*(L-k+1)] uint32``
-    with count 1 for valid windows, 0 for masked ones).  This is the hot
-    per-chunk op in the steady-state engine loop: records append to the HBM
-    table unsorted and *all* duplicate-collapse work happens in the
-    amortized consolidation sort (ops.table.consolidate), which profiling
-    shows is strictly cheaper than sorting every chunk.
+    Returns lane-major (lanes ``[NL, R*(L-k+1)] uint32``, counts
+    ``[R*(L-k+1)] uint32`` with count 1 for valid windows, 0 for masked
+    ones).  This is the hot per-chunk op in the steady-state engine loop:
+    records append to the HBM table unsorted and *all* duplicate-collapse
+    work happens in the amortized consolidation sort
+    (ops.table.consolidate), which profiling shows is strictly cheaper
+    than sorting every chunk.
     """
     codes, valid = encode_reads(reads)
     lanes, wvalid = extract_kmer_lanes(codes, valid, k, canonical)
-    R, P, NL = lanes.shape
-    return lanes.reshape(R * P, NL), wvalid.reshape(R * P).astype(jnp.uint32)
+    NL, R, P = lanes.shape
+    return lanes.reshape(NL, R * P), wvalid.reshape(R * P).astype(jnp.uint32)
 
 
 @partial(jax.jit, static_argnames=("k", "canonical"))
@@ -51,14 +52,11 @@ def count_chunk(
       canonical: canonical (min(kmer, revcomp)) keys if True.
 
     Returns:
-      (unique_lanes ``[R*(L-k+1), NL] uint32``, counts, num_unique) —
-      the chunk's compacted partial table, keys sorted ascending.
+      (unique_lanes ``[NL, R*(L-k+1)] uint32``, counts, num_unique) —
+      the chunk's compacted partial table, keys sorted ascending,
+      lane-major.
     """
-    codes, valid = encode_reads(reads)
-    lanes, wvalid = extract_kmer_lanes(codes, valid, k, canonical)
-    R, P, NL = lanes.shape
-    flat_lanes = lanes.reshape(R * P, NL)
-    flat_counts = wvalid.reshape(R * P).astype(jnp.uint32)
+    flat_lanes, flat_counts = extract_chunk(reads, k, canonical)
     return sort_reduce(flat_lanes, flat_counts)
 
 

@@ -29,8 +29,12 @@ Empty/invalid slots carry count==0 throughout, so one primitive handles
 both raw window streams (counts ∈ {0,1}) and accumulated partial tables
 (arbitrary counts) — table consolidation (ops.table) is the same op.
 
-Contract: rows [0, num_unique) hold distinct keys sorted ascending with
-their summed counts; rows at and past num_unique have count 0 and
+All record arrays are **lane-major** ``[NL, N]`` (lane i of record n at
+``[i, n]``): the large record axis stays minor, aligned with TPU (8, 128)
+tiling, where a width-NL minor dimension would waste 128/NL of every tile.
+
+Contract: slots [0, num_unique) hold distinct keys sorted ascending with
+their summed counts; slots at and past num_unique have count 0 and
 *unspecified* key lanes (every consumer must gate on count > 0).
 """
 
@@ -46,45 +50,45 @@ def sort_reduce(
     """Collapse duplicate keys by sorting and summing counts.
 
     Args:
-      lanes: ``[N, NL] uint32`` key lanes; rows with count 0 are ignored
-        (their lane content is irrelevant).
-      counts: ``[N] uint32`` per-row counts (0 = empty slot).
+      lanes: ``[NL, N] uint32`` lane-major key lanes; records with count 0
+        are ignored (their lane content is irrelevant).
+      counts: ``[N] uint32`` per-record counts (0 = empty slot).
 
     Returns:
-      (unique_lanes ``[N, NL]``, unique_counts ``[N]``, num_unique scalar):
-      distinct keys sorted ascending in rows [0, num_unique); rows past
+      (unique_lanes ``[NL, N]``, unique_counts ``[N]``, num_unique scalar):
+      distinct keys sorted ascending in slots [0, num_unique); slots past
       that have count 0 and unspecified lanes.
     """
-    N, NL = lanes.shape
+    NL, N = lanes.shape
     counts = counts.astype(jnp.uint32)
     valid = counts > 0
 
     # (1) sentinel: empty rows become all-ones keys -> sort to the end.
     sentinel = jnp.uint32(0xFFFFFFFF)
-    eff = jnp.where(valid[:, None], lanes, sentinel)
+    eff = jnp.where(valid[None, :], lanes, sentinel)
 
-    operands = (*(eff[:, i] for i in range(NL)), counts)
+    operands = (*(eff[i] for i in range(NL)), counts)
     sorted_ops = jax.lax.sort(operands, dimension=0, num_keys=NL)
-    s_lanes = jnp.stack(sorted_ops[:NL], axis=-1)
+    s_lanes = jnp.stack(sorted_ops[:NL], axis=0)
     s_counts = sorted_ops[NL]
 
-    # Segment boundaries: first row of each run of equal keys.
-    prev_differs = jnp.any(s_lanes[1:] != s_lanes[:-1], axis=-1)
+    # Segment boundaries: first slot of each run of equal keys.
+    prev_differs = jnp.any(s_lanes[:, 1:] != s_lanes[:, :-1], axis=0)
     boundary = jnp.concatenate([jnp.ones((1,), dtype=bool), prev_differs])
     seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1
     U = seg[-1] + 1  # segments incl. a possible trailing sentinel group
 
-    # (2) exclusive cumsum: value at a segment's first row == segment start.
+    # (2) exclusive cumsum: value at a segment's first slot == segment start.
     csum = jnp.cumsum(s_counts)
     total = csum[-1]
     starts = csum - s_counts
 
-    # (3) compaction by sort: boundary rows get their (unique, ascending)
+    # (3) compaction by sort: boundary slots get their (unique, ascending)
     # segment id as key, everything else key N.
     comp_key = jnp.where(boundary, seg, N)
-    comp_ops = (comp_key, *(s_lanes[:, i] for i in range(NL)), starts)
+    comp_ops = (comp_key, *(s_lanes[i] for i in range(NL)), starts)
     comp = jax.lax.sort(comp_ops, dimension=0, num_keys=1)
-    u_lanes = jnp.stack(comp[1 : NL + 1], axis=-1)
+    u_lanes = jnp.stack(comp[1 : NL + 1], axis=0)
     u_starts = comp[NL + 1]
 
     idx = jnp.arange(N, dtype=jnp.int32)

@@ -29,16 +29,16 @@ from kmer_counter_tpu.ops.sortcount import sort_reduce
 
 
 class CountTable(NamedTuple):
-    """Device state: capacity-C record buffer + live offset."""
+    """Device state: capacity-C record buffer + live offset (lane-major)."""
 
-    lanes: jnp.ndarray  # [C, NL] uint32
+    lanes: jnp.ndarray  # [NL, C] uint32
     counts: jnp.ndarray  # [C] uint32
     offset: jnp.ndarray  # scalar int32: slots in use (upper bound)
 
 
 def make_table(capacity: int, num_lanes: int) -> CountTable:
     return CountTable(
-        lanes=jnp.zeros((capacity, num_lanes), dtype=jnp.uint32),
+        lanes=jnp.zeros((num_lanes, capacity), dtype=jnp.uint32),
         counts=jnp.zeros((capacity,), dtype=jnp.uint32),
         offset=jnp.int32(0),
     )
@@ -58,7 +58,9 @@ def append(table: CountTable, chunk_lanes, chunk_counts, chunk_unique) -> CountT
     worst-case offset bound and consolidates before this could overflow;
     ``jax.lax.dynamic_update_slice`` would otherwise silently clamp).
     """
-    lanes = jax.lax.dynamic_update_slice(table.lanes, chunk_lanes, (table.offset, 0))
+    lanes = jax.lax.dynamic_update_slice(
+        table.lanes, chunk_lanes, (jnp.int32(0), table.offset)
+    )
     counts = jax.lax.dynamic_update_slice(table.counts, chunk_counts, (table.offset,))
     return CountTable(lanes, counts, table.offset + chunk_unique)
 
@@ -74,9 +76,9 @@ def consolidate(table: CountTable) -> CountTable:
 def grow(table: CountTable, capacity: int) -> CountTable:
     """Copy into a larger buffer (host-triggered when cardinality outgrows
     the current capacity and HBM still has room)."""
-    C, NL = table.lanes.shape
+    NL, C = table.lanes.shape
     if capacity < C:
         raise ValueError("grow() cannot shrink the table")
-    lanes = jnp.zeros((capacity, NL), dtype=jnp.uint32).at[:C].set(table.lanes)
+    lanes = jnp.zeros((NL, capacity), dtype=jnp.uint32).at[:, :C].set(table.lanes)
     counts = jnp.zeros((capacity,), dtype=jnp.uint32).at[:C].set(table.counts)
     return CountTable(lanes, counts, table.offset)

@@ -66,15 +66,20 @@ class ShardedCounter:
         # Per-destination bucket capacity for the merge all_to_all.
         self.bucket_cap = int(min(table_slots, table_slots * merge_slack / self.D))
 
-        sharded = NamedSharding(mesh, P(DATA_AXIS))
-        self._spec_table = P(DATA_AXIS)
+        # Record arrays are lane-major [NL, slots]; the slot axis is the
+        # sharded one.
+        self._lanes_spec = P(None, DATA_AXIS)
         self.lanes = jax.device_put(
-            jnp.zeros((self.D * table_slots, self.NL), jnp.uint32), sharded
+            jnp.zeros((self.NL, self.D * table_slots), jnp.uint32),
+            NamedSharding(mesh, self._lanes_spec),
         )
         self.counts = jax.device_put(
-            jnp.zeros((self.D * table_slots,), jnp.uint32), sharded
+            jnp.zeros((self.D * table_slots,), jnp.uint32),
+            NamedSharding(mesh, P(DATA_AXIS)),
         )
-        self.offsets = jax.device_put(jnp.zeros((self.D,), jnp.int32), sharded)
+        self.offsets = jax.device_put(
+            jnp.zeros((self.D,), jnp.int32), NamedSharding(mesh, P(DATA_AXIS))
+        )
         self.host_bound = 0  # worst-case per-device offset
 
         self._step = self._build_step()
@@ -93,18 +98,25 @@ class ShardedCounter:
             # extract_chunk for the rationale).
             codes, valid = encode_reads(reads)
             win_lanes, win_valid = extract_kmer_lanes(codes, valid, k, canonical)
-            R, Pw, NL = win_lanes.shape
-            c_lanes = win_lanes.reshape(R * Pw, NL)
+            NL, R, Pw = win_lanes.shape
+            c_lanes = win_lanes.reshape(NL, R * Pw)
             c_counts = win_valid.reshape(R * Pw).astype(jnp.uint32)
-            lanes = jax.lax.dynamic_update_slice(lanes, c_lanes, (offset[0], 0))
+            lanes = jax.lax.dynamic_update_slice(
+                lanes, c_lanes, (jnp.int32(0), offset[0])
+            )
             counts = jax.lax.dynamic_update_slice(counts, c_counts, (offset[0],))
             return lanes, counts, offset + jnp.int32(R * Pw)
 
         fn = shard_map(
             local_step,
             mesh=mesh,
-            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            in_specs=(
+                P(None, DATA_AXIS),
+                P(DATA_AXIS),
+                P(DATA_AXIS),
+                P(DATA_AXIS),
+            ),
+            out_specs=(P(None, DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
         )
         return jax.jit(fn, donate_argnums=(0, 1, 2))
 
@@ -117,8 +129,8 @@ class ShardedCounter:
         fn = shard_map(
             local_consolidate,
             mesh=self.mesh,
-            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            in_specs=(P(None, DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(None, DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
         )
         return jax.jit(fn, donate_argnums=(0, 1, 2))
 
@@ -142,8 +154,13 @@ class ShardedCounter:
         fn = shard_map(
             local_finalize,
             mesh=self.mesh,
-            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            in_specs=(P(None, DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(
+                P(None, DATA_AXIS),
+                P(DATA_AXIS),
+                P(DATA_AXIS),
+                P(DATA_AXIS),
+            ),
         )
         return jax.jit(fn)
 
@@ -161,8 +178,9 @@ class ShardedCounter:
                 while self.host_bound + self.chunk_slots > new_slots:
                     new_slots *= 2
                 self._grow(new_slots)
-        sharded = NamedSharding(self.mesh, P(DATA_AXIS))
-        dev_reads = jax.device_put(reads, sharded)
+        dev_reads = jax.device_put(
+            reads, NamedSharding(self.mesh, P(DATA_AXIS))
+        )
         self.lanes, self.counts, self.offsets = self._step(
             self.lanes, self.counts, self.offsets, dev_reads
         )
@@ -172,18 +190,21 @@ class ShardedCounter:
         """Host-side capacity doubling of every table shard (rare)."""
         old = self.table_slots
         lanes = np.asarray(jax.device_get(self.lanes)).reshape(
-            self.D, old, self.NL
+            self.NL, self.D, old
         )
         counts = np.asarray(jax.device_get(self.counts)).reshape(self.D, old)
-        new_lanes = np.zeros((self.D, new_slots, self.NL), np.uint32)
+        new_lanes = np.zeros((self.NL, self.D, new_slots), np.uint32)
         new_counts = np.zeros((self.D, new_slots), np.uint32)
-        new_lanes[:, :old] = lanes
+        new_lanes[:, :, :old] = lanes
         new_counts[:, :old] = counts
-        sharded = NamedSharding(self.mesh, P(DATA_AXIS))
         self.lanes = jax.device_put(
-            new_lanes.reshape(self.D * new_slots, self.NL), sharded
+            new_lanes.reshape(self.NL, self.D * new_slots),
+            NamedSharding(self.mesh, self._lanes_spec),
         )
-        self.counts = jax.device_put(new_counts.reshape(self.D * new_slots), sharded)
+        self.counts = jax.device_put(
+            new_counts.reshape(self.D * new_slots),
+            NamedSharding(self.mesh, P(DATA_AXIS)),
+        )
         self.table_slots = new_slots
         self.bucket_cap = int(
             min(new_slots, new_slots * self._merge_slack / self.D)
@@ -200,7 +221,8 @@ class ShardedCounter:
         self.host_bound = int(np.max(jax.device_get(self.offsets)))
 
     def finalize(self) -> tuple[np.ndarray, np.ndarray]:
-        """Merge across devices; returns (words-sorted lanes [U, NL], counts).
+        """Merge across devices; returns (sorted keys [U, NL] row-major,
+        counts [U]) — host layout, ready for records.lanes_to_words.
 
         The result is globally sorted because the routing is monotonic in
         the key and devices are concatenated in mesh order.
@@ -215,12 +237,12 @@ class ShardedCounter:
                 "skew exceeded merge_slack; retry with higher slack"
             )
         nuniq = np.asarray(jax.device_get(nuniq))
-        lanes = np.asarray(jax.device_get(lanes))
+        lanes = np.asarray(jax.device_get(lanes))  # [NL, D * block]
         counts = np.asarray(jax.device_get(counts))
         block = self.D * self.bucket_cap
         parts_l, parts_c = [], []
         for d in range(self.D):
             u = int(nuniq[d])
-            parts_l.append(lanes[d * block : d * block + u])
+            parts_l.append(lanes[:, d * block : d * block + u].T)
             parts_c.append(counts[d * block : d * block + u])
         return np.concatenate(parts_l), np.concatenate(parts_c)

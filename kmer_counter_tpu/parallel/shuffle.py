@@ -40,8 +40,8 @@ def route_merge_local(
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Exchange records so each device holds exactly its key range, merged.
 
-    Args (per-device views inside shard_map):
-      lanes: [C, NL] uint32 local partial table; rows with count 0 ignored.
+    Args (per-device views inside shard_map; record arrays lane-major):
+      lanes: [NL, C] uint32 local partial table; slots with count 0 ignored.
       counts: [C] uint32.
       axis_name: mesh axis to exchange over.
       num_devices: size of that axis (static).
@@ -50,59 +50,101 @@ def route_merge_local(
         tolerance — overflow is *detected*, never silent.
 
     Returns:
-      (range_lanes [D*cap, NL], range_counts [D*cap], num_unique, overflow)
+      (range_lanes [NL, D*cap], range_counts [D*cap], num_unique, overflow)
       where overflow > 0 means bucket_capacity was exceeded somewhere
       (global max) and the merge must be retried with more slack.
     """
-    C, NL = lanes.shape
+    NL, C = lanes.shape
     D = num_devices
     cap = bucket_capacity
 
     valid = counts > 0
-    owner = jnp.where(valid, owner_of(lanes[:, 0], D), D)  # D = dropped
+    owner = jnp.where(valid, owner_of(lanes[0], D), D)  # D = dropped
 
-    # Group records by destination: stable sort by owner keeps keys in
-    # ascending order inside each bucket (owner is monotonic in the key, so
-    # this is just the existing sort order — but partial tables arrive
-    # already sorted, making this cheap for XLA's stable sort).
-    ops = (owner, *(lanes[:, i] for i in range(NL)), counts)
+    # Group records by destination. Rather than scattering into [D, cap]
+    # buckets (TPU scatter is slow), sort by a composite placement key
+    # ``owner * cap + slot``: after sorting, record with placement key p
+    # sits at position... not directly — instead sort by owner (grouping),
+    # then *place* each record at owner*cap + rank-within-owner via one
+    # more sort keyed by that placement index over a padded [D*cap] domain.
+    ops = (owner, *(lanes[i] for i in range(NL)), counts)
     sorted_ops = jax.lax.sort(ops, dimension=0, num_keys=1, is_stable=True)
     s_owner = sorted_ops[0]
-    s_lanes = jnp.stack(sorted_ops[1 : NL + 1], axis=-1)
+    s_lanes = jnp.stack(sorted_ops[1 : NL + 1], axis=0)
     s_counts = sorted_ops[NL + 1]
 
-    #
-
-    # Per-destination slot index = rank within its owner run.
+    # Rank within owner run + overflow detection.
     idx = jnp.arange(C, dtype=jnp.int32)
-    # start of each owner's run: searchsorted on the sorted owner array
     run_start = jnp.searchsorted(s_owner, jnp.arange(D + 1, dtype=jnp.int32))
     slot = idx - run_start[jnp.clip(s_owner, 0, D)]
-    per_dest = run_start[1:] - run_start[:-1]  # records per destination
+    per_dest = run_start[1:] - run_start[:-1]
     overflow_local = jnp.maximum(jnp.max(per_dest) - cap, 0)
 
-    # Scatter into [D, cap] send buckets (out-of-range slots dropped only
-    # when overflow is flagged; the caller must check `overflow`).
-    send_lanes = jnp.zeros((D, cap, NL), dtype=jnp.uint32)
-    send_counts = jnp.zeros((D, cap), dtype=jnp.uint32)
-    dest = jnp.where((s_owner < D) & (slot < cap), s_owner, D)
-    send_lanes = send_lanes.at[dest, jnp.clip(slot, 0, cap - 1)].set(
-        s_lanes, mode="drop"
+    # Placement by sort (scatter-free): each record's target position in
+    # the [D*cap] send buffer is owner*cap + slot; records beyond cap or
+    # ownerless get position >= D*cap.  Pad the domain to D*cap + C
+    # carrying empty filler, sort by position, take the first D*cap.
+    pos = jnp.where(
+        (s_owner < D) & (slot < cap),
+        s_owner * cap + slot,
+        D * cap + idx,
     )
-    send_counts = send_counts.at[dest, jnp.clip(slot, 0, cap - 1)].set(
-        s_counts, mode="drop"
+    filler_pos = jnp.arange(D * cap, dtype=jnp.int32)
+    # filler occupies every position with the lowest priority: sort is
+    # stable, real records share no positions with each other, and each
+    # position's real record (if any) precedes... stability does not order
+    # record-vs-filler at equal keys deterministically by construction, so
+    # disambiguate by a secondary key: real=0, filler=1.
+    all_pos = jnp.concatenate([pos, filler_pos])
+    is_filler = jnp.concatenate(
+        [jnp.zeros((C,), jnp.int32), jnp.ones((D * cap,), jnp.int32)]
     )
+    all_lanes = jnp.concatenate(
+        [s_lanes, jnp.zeros((NL, D * cap), jnp.uint32)], axis=1
+    )
+    all_counts = jnp.concatenate([s_counts, jnp.zeros((D * cap,), jnp.uint32)])
+    placed = jax.lax.sort(
+        (all_pos, is_filler, *(all_lanes[i] for i in range(NL)), all_counts),
+        dimension=0,
+        num_keys=2,
+    )
+    # After sorting by (pos, is_filler): for each position p < D*cap, the
+    # real record (if any) comes first, its filler right after; positions
+    # without a real record contribute just the filler.  Keep exactly the
+    # entries whose (pos, rank-within-pos) make them the position owners:
+    # the first occurrence of each pos value.  Since each pos in [0, D*cap)
+    # occurs once (filler) or twice (record+filler), "first occurrence"
+    # compaction is another sort over a boundary key — but cheaper: the
+    # occupied flag is placed[1]==0, and duplicates are adjacent, so a
+    # shift-compare suffices.
+    p_pos = placed[0]
+    first = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), p_pos[1:] != p_pos[:-1]]
+    )
+    # Compact the firsts to the front: they are exactly D*cap entries, and
+    # their pos values are 0..D*cap-1 in order, so sorting by
+    # (first ? pos : BIG) yields them densely in the first D*cap slots.
+    comp_key = jnp.where(first, p_pos, jnp.int32(2 * D * cap + C))
+    compd = jax.lax.sort(
+        (comp_key, *(placed[2 + i] for i in range(NL)), placed[2 + NL]),
+        dimension=0,
+        num_keys=1,
+    )
+    send_lanes = jnp.stack(
+        [compd[1 + i][: D * cap].reshape(D, cap) for i in range(NL)], axis=0
+    )
+    send_counts = compd[1 + NL][: D * cap].reshape(D, cap)
 
     # One collective: bucket d goes to device d; we receive D buckets.
     recv_lanes = jax.lax.all_to_all(
-        send_lanes, axis_name, split_axis=0, concat_axis=0, tiled=False
+        send_lanes, axis_name, split_axis=1, concat_axis=1, tiled=False
     )
     recv_counts = jax.lax.all_to_all(
         send_counts, axis_name, split_axis=0, concat_axis=0, tiled=False
     )
 
     # Collapse the received runs: one sort-reduce over D*cap records.
-    flat_lanes = recv_lanes.reshape(D * cap, NL)
+    flat_lanes = recv_lanes.reshape(NL, D * cap)
     flat_counts = recv_counts.reshape(D * cap)
     out_lanes, out_counts, num_unique = sort_reduce(flat_lanes, flat_counts)
 

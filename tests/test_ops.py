@@ -15,7 +15,7 @@ from kmer_counter_tpu.ops import table as table_ops
 
 
 def table_to_counter(lanes, counts, num_unique, k):
-    lanes = np.asarray(lanes)[: int(num_unique)]
+    lanes = np.asarray(lanes)[:, : int(num_unique)].T  # lane-major device layout
     counts = np.asarray(counts)[: int(num_unique)]
     words = records.lanes_to_words(lanes)
     return {tuple(w): int(c) for w, c in zip(words.tolist(), counts.tolist())}
@@ -36,7 +36,7 @@ def test_extract_matches_host_pack(rng, k):
     codes, valid = encode_reads(jnp.asarray(reads))
     lanes, wvalid = extract_kmer_lanes(codes, valid, k)
     P = L - k + 1
-    assert lanes.shape == (3, P, records.lanes_per_kmer(k))
+    assert lanes.shape == (records.lanes_per_kmer(k), 3, P)
     assert bool(np.asarray(wvalid).all())
     host_codes, _ = records.encode_bases(reads)
     for r in range(3):
@@ -44,7 +44,7 @@ def test_extract_matches_host_pack(rng, k):
             want = records.words_to_lanes(
                 records.pack_codes(host_codes[r, p : p + k], k)
             )
-            np.testing.assert_array_equal(np.asarray(lanes[r, p]), want)
+            np.testing.assert_array_equal(np.asarray(lanes[:, r, p]), want)
 
 
 def test_extract_validity_mask():
@@ -68,24 +68,24 @@ def test_extract_canonical(rng, k):
         for p in range(L - k + 1):
             fwd = records.pack_codes(host_codes[r, p : p + k], k)
             want = records.words_to_lanes(records.canonical_words(fwd, k))
-            np.testing.assert_array_equal(np.asarray(lanes[r, p]), want)
+            np.testing.assert_array_equal(np.asarray(lanes[:, r, p]), want)
 
 
 def test_sort_reduce_basic():
     # keys: b, a, b, empty, a, a  (2-lane)
     a = [1, 2]
     b = [1, 3]
-    lanes = jnp.asarray(np.array([b, a, b, [0, 0], a, a], dtype=np.uint32))
+    lanes = jnp.asarray(np.array([b, a, b, [0, 0], a, a], dtype=np.uint32).T)
     counts = jnp.asarray(np.array([1, 1, 5, 0, 2, 1], dtype=np.uint32))
     u_lanes, u_counts, n = sort_reduce(lanes, counts)
     assert int(n) == 2
-    np.testing.assert_array_equal(np.asarray(u_lanes[:2]), [a, b])
+    np.testing.assert_array_equal(np.asarray(u_lanes[:, :2].T), [a, b])
     np.testing.assert_array_equal(np.asarray(u_counts[:2]), [4, 6])
     np.testing.assert_array_equal(np.asarray(u_counts[2:]), 0)
 
 
 def test_sort_reduce_all_empty():
-    lanes = jnp.zeros((8, 2), dtype=jnp.uint32)
+    lanes = jnp.zeros((2, 8), dtype=jnp.uint32)
     counts = jnp.zeros((8,), dtype=jnp.uint32)
     _, u_counts, n = sort_reduce(lanes, counts)
     assert int(n) == 0
@@ -94,12 +94,12 @@ def test_sort_reduce_all_empty():
 
 def test_sort_reduce_sorted_unsigned():
     # Keys with the high bit set must sort after small keys (unsigned order).
-    lanes = jnp.asarray(np.array([[0x8000_0000], [1], [0x7FFF_FFFF]], np.uint32))
+    lanes = jnp.asarray(np.array([[0x8000_0000, 1, 0x7FFF_FFFF]], np.uint32))
     counts = jnp.ones((3,), jnp.uint32)
     u_lanes, _, n = sort_reduce(lanes, counts)
     assert int(n) == 3
     np.testing.assert_array_equal(
-        np.asarray(u_lanes[:, 0]), [1, 0x7FFF_FFFF, 0x8000_0000]
+        np.asarray(u_lanes[0]), [1, 0x7FFF_FFFF, 0x8000_0000]
     )
 
 
@@ -113,7 +113,7 @@ def test_count_chunk_matches_golden(make_reads, k, canonical):
     want = {key: c for key, c in golden.count_reads(reads, k, canonical).items()}
     assert got == want
     # Keys come out sorted ascending.
-    keys = list(map(tuple, np.asarray(lanes[: int(n)]).tolist()))
+    keys = list(map(tuple, np.asarray(lanes[:, : int(n)].T).tolist()))
     assert keys == sorted(keys)
 
 

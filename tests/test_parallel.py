@@ -91,7 +91,7 @@ def test_shuffle_overflow_detected(mesh8):
     rng = np.random.default_rng(1)
     # 8*64 distinct keys, all with lane0 high bits zero → owner 0.
     lane0 = rng.permutation(2**16, )[: 8 * C].astype(np.uint32)
-    lanes = np.stack([lane0, np.zeros_like(lane0)], axis=-1)
+    lanes = np.stack([lane0, np.zeros_like(lane0)], axis=0)  # lane-major
     counts = np.ones(8 * C, np.uint32)
 
     def body(l, c):
@@ -101,7 +101,7 @@ def test_shuffle_overflow_detected(mesh8):
     fn = shard_map(
         body,
         mesh=mesh8,
-        in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=(P(None, DATA_AXIS), P(DATA_AXIS)),
         out_specs=P(DATA_AXIS),
     )
     overflow = np.asarray(fn(lanes, counts))
@@ -119,7 +119,7 @@ def test_shuffle_balanced_no_overflow(mesh8):
 
     C, NL, cap = 64, 2, 32
     rng = np.random.default_rng(2)
-    lanes = rng.integers(0, 2**32, size=(8 * C, NL), dtype=np.uint64).astype(
+    lanes = rng.integers(0, 2**32, size=(NL, 8 * C), dtype=np.uint64).astype(
         np.uint32
     )
     counts = np.ones(8 * C, np.uint32)
@@ -133,8 +133,8 @@ def test_shuffle_balanced_no_overflow(mesh8):
     fn = shard_map(
         body,
         mesh=mesh8,
-        in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
-        out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=(P(None, DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(None, DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
     )
     out_lanes, out_counts, nuniq, overflow = fn(lanes, counts)
     assert int(np.max(np.asarray(overflow))) == 0
@@ -144,9 +144,9 @@ def test_shuffle_balanced_no_overflow(mesh8):
     out_lanes, out_counts = np.asarray(out_lanes), np.asarray(out_counts)
     for d in range(8):
         u = int(np.asarray(nuniq)[d])
-        for row in out_lanes[d * block : d * block + u]:
+        for row in out_lanes[:, d * block : d * block + u].T:
             got.add(tuple(row.tolist()))
-    want = {tuple(r.tolist()) for r in lanes}
+    want = {tuple(r.tolist()) for r in lanes.T}
     assert got == want
 
 
@@ -164,6 +164,6 @@ def test_sharded_matches_single_device(mesh8, make_reads):
 
     lanes_s, counts_s, n_s = count_chunk(jnp.asarray(reads), k, False)
     got_single = table_as_counter(
-        np.asarray(lanes_s)[: int(n_s)], np.asarray(counts_s)[: int(n_s)], k
+        np.asarray(lanes_s)[:, : int(n_s)].T, np.asarray(counts_s)[: int(n_s)], k
     )
     assert table_as_counter(lanes_m, counts_m, k) == got_single
