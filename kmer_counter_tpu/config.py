@@ -17,6 +17,14 @@ from __future__ import annotations
 import dataclasses
 
 
+def _parse_mesh(s: str) -> tuple[int, ...]:
+    """'8' or '2x4' → (8,) / (2, 4)."""
+    dims = tuple(int(p) for p in s.lower().replace("*", "x").split("x"))
+    if not dims or any(d <= 0 for d in dims):
+        raise ValueError(f"bad mesh shape: {s!r}")
+    return dims
+
+
 def _parse_bool(s: str) -> bool:
     v = s.strip().lower()
     if v in ("1", "true", "yes", "on"):
@@ -70,6 +78,7 @@ class Options:
         "noOfMergeThreads": ("no_of_merge_threads", int),
         # extensions
         "canonical": ("canonical", _parse_bool),
+        "meshShape": ("mesh_shape", _parse_mesh),
         "readsPerChunk": ("reads_per_chunk", int),
         "tableSlots": ("table_slots", int),
         "prefetchChunks": ("prefetch_chunks", int),

@@ -26,6 +26,41 @@ def make_mesh(num_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.array(devices), (DATA_AXIS,))
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialize jax.distributed for a multi-host run.
+
+    On TPU pods the arguments auto-detect from the environment; on CPU/GPU
+    fleets pass them explicitly (or via JAX's standard env vars).  After
+    this, ``make_mesh()`` spans every chip of every process and the
+    engine's collectives ride ICI within a slice / DCN across hosts —
+    the reference has no multi-node story at all (SURVEY.md §2.3).
+
+    Idempotent: safe to call when already initialized or single-process.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process defaults
+
+
+def process_shard(paths: list[str]) -> list[str]:
+    """Round-robin file assignment for this process's ingest (multi-host
+    data sharding: each host parses only its own files)."""
+    n = jax.process_count()
+    if n <= 1:
+        return list(paths)
+    idx = jax.process_index()
+    return [p for i, p in enumerate(paths) if i % n == idx]
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Rows sharded across the data axis (reads or table slots)."""
     return NamedSharding(mesh, P(DATA_AXIS))
