@@ -486,8 +486,18 @@ class MeshCountEngine:
 
 def run_count(opts: Options) -> RunStats:
     """Dispatch to the mesh engine when more than one device is visible (or
-    an explicit mesh shape is configured); single-device engine otherwise."""
-    n_dev = len(jax.devices())
-    if opts.mesh_shape is not None or n_dev > 1:
-        return MeshCountEngine(opts).run()
-    return CountEngine(opts).run()
+    an explicit mesh shape is configured); single-device engine otherwise.
+
+    With ``profile=true`` the whole run is wrapped in a jax.profiler trace
+    written next to the output file (<output>.trace/).
+    """
+    from kmer_counter_tpu.metrics import device_trace
+
+    trace_dir = (
+        opts.output_file + ".trace" if (opts.profile and opts.output_file) else None
+    )
+    with device_trace(trace_dir):
+        n_dev = len(jax.devices())
+        if opts.mesh_shape is not None or n_dev > 1:
+            return MeshCountEngine(opts).run()
+        return CountEngine(opts).run()

@@ -8,18 +8,19 @@ is different:
 
   * Every window position of every read is computed unconditionally —
     static shapes, perfect vectorization; invalid windows are masked.
-  * Each uint32 key lane (16 bases) is built as a sum of 16 *statically
-    shifted slices* of the code matrix:
-        lane_i(p) = sum_j codes[p + 16*i + j] << (30 - 2*j)
-    which XLA fuses into pure VPU shift/add traffic — no gathers, no
-    per-element control flow.
-  * Window validity comes from an exclusive prefix sum over the invalid
-    mask: window p is valid iff no invalid base in [p, p+k) — the vector
-    form of the reference's valid-run counter (GPUHandler.cu:155-172).
+  * A **log-tree pack** builds, in 4 full-width shift-or passes, the value
+    ``A[p]`` = the 16 bases starting at p, MSB-first in 32 bits — for
+    *every* offset p simultaneously.  Each key lane of each window is then
+    a slice of A (plus a tail mask for partial lanes).
+  * Reverse-complement lanes come from the *same* tree: complement is
+    bitwise NOT of the 2-bit codes, and base-order reversal within a
+    32-bit group is a fixed 4-step bit permutation (``_rev_groups``), so
+    canonicalization needs no second pass over the reads and no flips.
+  * Window validity is a log-doubling sliding OR over the invalid mask —
+    the vector form of the reference's valid-run counter
+    (GPUHandler.cu:155-172).
 
-Canonicalization (min(kmer, revcomp), a capability the reference lacks —
-SURVEY.md §7.1) reuses the same machinery on the reverse-complemented code
-matrix and takes a lanewise lexicographic min.
+Everything is lane-major ``[NL, R, P]`` (see ops.sortcount for why).
 """
 
 from __future__ import annotations
@@ -29,53 +30,93 @@ import jax.numpy as jnp
 from kmer_counter_tpu.records import BASES_PER_LANE, lanes_per_kmer
 
 
-def _window_lanes(codes: jnp.ndarray, k: int) -> jnp.ndarray:
-    """codes ``[R, L] uint32`` → per-window key lanes ``[NL, R, P] uint32``.
+def _pack_tree(codes: jnp.ndarray) -> jnp.ndarray:
+    """codes ``[R, L] uint32`` → ``A [R, L]`` with A[:, p] packing bases
+    p..p+15 MSB-first in 32 bits (zero-padded past the read end).
 
-    P = L - k + 1 windows per read; NL = 2*ceil(k/32) lanes, MSB-first
-    (lane 0 = bases 0..15 of the window in its top bits).  Tail bits past
-    base k-1 are zero (the left-aligned layout of SURVEY.md §2.2).
-    Lane-major layout keeps the large window axis minor, matching TPU
-    tiling (a width-NL minor dim would be padded to 128 lanes).
+    A_{m+1}[p] = A_m[p] << 2*2^m | A_m[p + 2^m]; four doubling levels.
     """
-    R, L = codes.shape
-    P = L - k + 1
-    if P <= 0:
-        raise ValueError(f"line length {L} shorter than k={k}")
+    A = jnp.pad(codes, ((0, 0), (0, BASES_PER_LANE - 1)))
+    for m in range(4):
+        sh = 1 << m
+        A = (A[:, : A.shape[1] - sh] << jnp.uint32(2 * sh)) | A[:, sh:]
+    return A
+
+
+def _rev_groups(v: jnp.ndarray) -> jnp.ndarray:
+    """Reverse the sixteen 2-bit groups of each uint32 (base-order flip)."""
+    m1 = jnp.uint32(0x33333333)
+    m2 = jnp.uint32(0x0F0F0F0F)
+    m3 = jnp.uint32(0x00FF00FF)
+    v = ((v & m1) << 2) | ((v >> 2) & m1)
+    v = ((v & m2) << 4) | ((v >> 4) & m2)
+    v = ((v & m3) << 8) | ((v >> 8) & m3)
+    return (v << 16) | (v >> 16)
+
+
+def _fwd_lanes(A: jnp.ndarray, k: int, P: int) -> list[jnp.ndarray]:
+    """Forward key lanes from the pack tree: lane i of window p is
+    A[p + 16i], tail-masked for the partial last lane."""
     NL = lanes_per_kmer(k)
     lanes = []
     for i in range(NL):
         base0 = i * BASES_PER_LANE
         n_bases = min(BASES_PER_LANE, k - base0)
         if n_bases <= 0:
-            lanes.append(jnp.zeros((R, P), dtype=jnp.uint32))
+            lanes.append(jnp.zeros(A.shape[:1] + (P,), dtype=jnp.uint32))
             continue
-        acc = jnp.zeros((R, P), dtype=jnp.uint32)
-        for j in range(n_bases):
-            off = base0 + j
-            shift = 30 - 2 * j
-            acc = acc + (codes[:, off : off + P] << jnp.uint32(shift))
-        lanes.append(acc)
-    return jnp.stack(lanes, axis=0)
+        v = A[:, base0 : base0 + P]
+        if n_bases < BASES_PER_LANE:
+            drop = jnp.uint32(2 * (BASES_PER_LANE - n_bases))
+            v = (v >> drop) << drop
+        lanes.append(v)
+    return lanes
+
+
+def _rc_lanes(A: jnp.ndarray, k: int, P: int) -> list[jnp.ndarray]:
+    """Reverse-complement key lanes from the same tree.
+
+    rc lane i covers window bases [k-16(i+1), k-16i) reversed-complemented:
+    complement = bitwise NOT; reversal = _rev_groups; the partial last lane
+    reverses the window's first n bases and left-aligns them.
+    """
+    NL = lanes_per_kmer(k)
+    lanes = []
+    for i in range(NL):
+        n_bases = min(BASES_PER_LANE, k - i * BASES_PER_LANE)
+        if n_bases <= 0:
+            lanes.append(jnp.zeros(A.shape[:1] + (P,), dtype=jnp.uint32))
+            continue
+        if n_bases == BASES_PER_LANE:
+            off = k - BASES_PER_LANE * (i + 1)
+            lanes.append(_rev_groups(~A[:, off : off + P]))
+        else:
+            v = _rev_groups(~A[:, 0:P])
+            lanes.append(v << jnp.uint32(2 * (BASES_PER_LANE - n_bases)))
+    return lanes
+
+
+def _lex_min(a: list[jnp.ndarray], b: list[jnp.ndarray]) -> list[jnp.ndarray]:
+    """Elementwise lexicographic min of two lane lists."""
+    NL = len(a)
+    a_lt = jnp.zeros(a[0].shape, dtype=bool)
+    for i in reversed(range(NL)):
+        a_lt = jnp.where(a[i] == b[i], a_lt, a[i] < b[i])
+    return [jnp.where(a_lt, a[i], b[i]) for i in range(NL)]
 
 
 def _window_valid(valid: jnp.ndarray, k: int) -> jnp.ndarray:
-    """valid ``[R, L] bool`` → window validity ``[R, P] bool``."""
-    inv = (~valid).astype(jnp.int32)
-    csum = jnp.cumsum(inv, axis=1)
-    # invalid count in [p, p+k) = csum[p+k-1] - (csum[p-1] if p>0 else 0)
-    hi = csum[:, k - 1 :]
-    lo = jnp.pad(csum, ((0, 0), (1, 0)))[:, : hi.shape[1]]
-    return (hi - lo) == 0
-
-
-def _lex_min(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Lexicographic min of two lane-major stacks ``[NL, ...]``."""
-    NL = a.shape[0]
-    a_lt = jnp.zeros(a.shape[1:], dtype=bool)
-    for i in reversed(range(NL)):
-        a_lt = jnp.where(a[i] == b[i], a_lt, a[i] < b[i])
-    return jnp.where(a_lt[None], a, b)
+    """valid ``[R, L] bool`` → window validity ``[R, P] bool`` via a
+    log-doubling sliding OR over the invalid mask."""
+    inv = ~valid
+    covered = 1
+    cur = inv
+    while covered < k:
+        step = min(covered, k - covered)
+        cur = cur[:, : cur.shape[1] - step] | cur[:, step:]
+        covered += step
+    P = valid.shape[1] - k + 1
+    return ~cur[:, :P]
 
 
 def extract_kmer_lanes(
@@ -97,13 +138,13 @@ def extract_kmer_lanes(
       P = L - k + 1.  k-mers never cross reads (one window set per row),
       matching the reference's per-read sections (GPUHandler.cu:438-439).
     """
-    lanes = _window_lanes(codes, k)
-    wvalid = _window_valid(valid, k)
+    R, L = codes.shape
+    P = L - k + 1
+    if P <= 0:
+        raise ValueError(f"line length {L} shorter than k={k}")
+    A = _pack_tree(codes)
+    lanes = _fwd_lanes(A, k, P)
     if canonical:
-        # revcomp codes: complement (3 - c) and reverse the base axis.  The
-        # window at position p in the original read corresponds to the
-        # window at position P-1-p of the reverse-complemented read.
-        rc_codes = (jnp.uint32(3) - codes)[:, ::-1]
-        rc_lanes = _window_lanes(rc_codes, k)[:, :, ::-1]
-        lanes = _lex_min(lanes, rc_lanes)
-    return lanes, wvalid
+        lanes = _lex_min(_rc_lanes(A, k, P), lanes)
+    wvalid = _window_valid(valid, k)
+    return jnp.stack(lanes, axis=0), wvalid

@@ -4,16 +4,21 @@ Fuses the whole per-chunk record producer (ops.encode + ops.extract —
 the TPU redesign of the reference's bitEncode + extractKMers kernels,
 GPUHandler.cu:10-233) into one VMEM-resident pass: ASCII reads stream
 HBM→VMEM once, per-window key lanes and validity are computed entirely
-on the VPU with static shifted-slice sums (no gathers, no materialized
-intermediates), and records stream back to HBM once.
+on the VPU, and records stream back to HBM once.
 
-Output is **lane-major** ``[NL+1, R*P]`` — lane i of window (r, p) at
-``[i, r*P + p]``, validity count (1/0) in the last row — which keeps the
-minor dimension large and tile-aligned instead of a width-NL minor dim
-that TPU tiling would pad to 128.
+Uses the same log-tree pack as ops.extract (4 shift-or passes produce
+every 16-base group at every offset) and derives reverse-complement lanes
+from the same tree via the 2-bit-group bit-reversal — so even the
+canonical kernel is only ~25 vector passes, keeping Mosaic compile times
+sane (a naive 16-adds-per-lane unroll did not terminate).
 
-Falls back transparently to the XLA implementation (ops.extract) when
-Pallas is unavailable for the current backend.
+Output is **lane-major** ``[NL+1, R, P]`` planes (flattened to
+``[NL+1, R*P]`` by the wrapper); plane NL is the validity count (1/0).
+
+Mosaic constraints honored here: all in-kernel compute is 32-bit (the
+wrapper pre-casts reads to int32 and pre-pads 15 columns so the kernel
+needs no pad/reshape), and predicates use int32 0/1 masks (some i1/i8
+vector conversions fail to lower).
 """
 
 from __future__ import annotations
@@ -25,77 +30,91 @@ import jax.numpy as jnp
 
 from kmer_counter_tpu.records import BASES_PER_LANE, lanes_per_kmer
 
+_PAD = BASES_PER_LANE - 1
 
-def _extract_kernel(reads_ref, out_ref, *, k: int, canonical: bool):
-    """One grid block: [BR, L] uint8 reads -> [NL+1, BR, P] uint32 planes.
 
-    Plane i < NL holds key lane i for every window; plane NL holds the
-    validity count (1/0).  The flatten to [NL+1, R*P] happens outside the
-    kernel (Mosaic cannot reshape non-tile-aligned vectors in VMEM).
-    """
-    BR, L = reads_ref.shape
+def _rev_groups(v):
+    m1 = jnp.uint32(0x33333333)
+    m2 = jnp.uint32(0x0F0F0F0F)
+    m3 = jnp.uint32(0x00FF00FF)
+    v = ((v & m1) << 2) | ((v >> 2) & m1)
+    v = ((v & m2) << 4) | ((v >> 4) & m2)
+    v = ((v & m3) << 8) | ((v >> 8) & m3)
+    return (v << 16) | (v >> 16)
+
+
+def _extract_kernel(reads_ref, out_ref, *, k: int, canonical: bool, L: int):
+    """One grid block: [BR, L+15] int32 padded reads -> [NL+1, BR, P]."""
     P = L - k + 1
     NL = lanes_per_kmer(k)
 
-    # reads arrive pre-cast to int32: Mosaic rejects some sub-32-bit
-    # (i8/i1) vector conversions, so all in-kernel compute is 32-bit.
     c = reads_ref[:]
-    # case-fold, classify, encode (A=0,C=1,G=2,T=3; invalid -> 3 + masked)
     up = jnp.where((c >= ord("a")) & (c <= ord("z")), c - 32, c)
     is_a = up == ord("A")
     is_c = up == ord("C")
     is_g = up == ord("G")
     is_t = up == ord("T")
-    valid = is_a | is_c | is_g | is_t
-    codes = (
-        jnp.where(is_c, 1, 0) + jnp.where(is_g, 2, 0) + jnp.where(is_t | ~valid, 3, 0)
-    ).astype(jnp.uint32)
-    inv = (~valid).astype(jnp.uint32)
-
-    # window validity: OR of the k shifted invalid columns
-    win_inv = jnp.zeros((BR, P), jnp.uint32)
-    for j in range(k):
-        win_inv = win_inv | inv[:, j : j + P]
-    counts = jnp.uint32(1) - win_inv
-
-    def lane_sums(base_slice):
-        """base_slice(i, j) -> [BR, P] code plane for lane i, base j."""
-        planes = []
-        for i in range(NL):
-            n_bases = min(BASES_PER_LANE, k - i * BASES_PER_LANE)
-            if n_bases <= 0:
-                planes.append(jnp.zeros((BR, P), jnp.uint32))
-                continue
-            acc = jnp.zeros((BR, P), jnp.uint32)
-            for j in range(n_bases):
-                acc = acc + (base_slice(i, j) << jnp.uint32(30 - 2 * j))
-            planes.append(acc)
-        return planes
-
-    fwd = lane_sums(
-        lambda i, j: codes[:, i * BASES_PER_LANE + j : i * BASES_PER_LANE + j + P]
+    # int32 0/1 validity; codes as uint32
+    valid_i = (
+        jnp.where(is_a, 1, 0)
+        + jnp.where(is_c, 1, 0)
+        + jnp.where(is_g, 1, 0)
+        + jnp.where(is_t, 1, 0)
     )
+    codes = jnp.where(
+        is_c, jnp.uint32(1), jnp.uint32(0)
+    ) | jnp.where(is_g, jnp.uint32(2), jnp.uint32(0)) | jnp.where(
+        valid_i == 0, jnp.uint32(3), jnp.uint32(0)
+    ) | jnp.where(
+        is_t, jnp.uint32(3), jnp.uint32(0)
+    )
+
+    # log-tree pack: A[:, p] = bases p..p+15 MSB-first (padding is zeros).
+    A = codes
+    for m in range(4):
+        sh = 1 << m
+        A = (A[:, : A.shape[1] - sh] << jnp.uint32(2 * sh)) | A[:, sh:]
+
+    def fwd_lane(i):
+        base0 = i * BASES_PER_LANE
+        n = min(BASES_PER_LANE, k - base0)
+        if n <= 0:
+            return jnp.zeros(A.shape[:1] + (P,), jnp.uint32)
+        v = A[:, base0 : base0 + P]
+        if n < BASES_PER_LANE:
+            drop = jnp.uint32(2 * (BASES_PER_LANE - n))
+            v = (v >> drop) << drop
+        return v
+
+    def rc_lane(i):
+        n = min(BASES_PER_LANE, k - i * BASES_PER_LANE)
+        if n <= 0:
+            return jnp.zeros(A.shape[:1] + (P,), jnp.uint32)
+        if n == BASES_PER_LANE:
+            off = k - BASES_PER_LANE * (i + 1)
+            return _rev_groups(~A[:, off : off + P])
+        return _rev_groups(~A[:, 0:P]) << jnp.uint32(2 * (BASES_PER_LANE - n))
+
+    fwd = [fwd_lane(i) for i in range(NL)]
     if canonical:
-        # revcomp lane i, base j reads complement(codes) at window offset
-        # k-1-(16i+j); same static-slice machinery, no flips.
-        rc = lane_sums(
-            lambda i, j: (
-                jnp.uint32(3)
-                - codes[
-                    :,
-                    k - 1 - i * BASES_PER_LANE - j : k - 1 - i * BASES_PER_LANE - j + P,
-                ]
-            )
-        )
-        # lanewise lexicographic min (int32 0/1 mask: Mosaic rejects some
-        # i1-vector materializations)
-        rc_lt = jnp.zeros((BR, P), dtype=jnp.int32)
+        rc = [rc_lane(i) for i in range(NL)]
+        rc_lt = jnp.zeros(fwd[0].shape, dtype=jnp.int32)
         for i in reversed(range(NL)):
             lt = jnp.where(rc[i] < fwd[i], 1, 0)
             rc_lt = jnp.where(rc[i] == fwd[i], rc_lt, lt)
         planes = [jnp.where(rc_lt == 1, rc[i], fwd[i]) for i in range(NL)]
     else:
         planes = fwd
+
+    # sliding-window validity via log-doubling OR over the invalid mask
+    inv = jnp.where(valid_i == 0, 1, 0)[:, :L]
+    covered = 1
+    cur = inv
+    while covered < k:
+        step = min(covered, k - covered)
+        cur = cur[:, : cur.shape[1] - step] | cur[:, step:]
+        covered += step
+    counts = (1 - cur[:, :P]).astype(jnp.uint32)
 
     for i in range(NL):
         out_ref[i] = planes[i]
@@ -127,18 +146,20 @@ def extract_chunk_lanes_major(
     if interpret is None:
         # CPU (tests / virtual meshes) only supports interpreter mode.
         interpret = jax.default_backend() == "cpu"
-    kernel = partial(_extract_kernel, k=k, canonical=canonical)
-    reads = reads.astype(jnp.int32)
+    kernel = partial(_extract_kernel, k=k, canonical=canonical, L=L)
+    padded = jnp.pad(reads.astype(jnp.int32), ((0, 0), (0, _PAD)))
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (block_rows, L + _PAD), lambda i: (i, 0), memory_space=pltpu.VMEM
+            )
         ],
         out_specs=pl.BlockSpec(
             (NL + 1, block_rows, P), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((NL + 1, R, P), jnp.uint32),
         interpret=interpret,
-    )(reads)
+    )(padded)
     return out.reshape(NL + 1, R * P)

@@ -246,3 +246,39 @@ class ShardedCounter:
             parts_l.append(lanes[:, d * block : d * block + u].T)
             parts_c.append(counts[d * block : d * block + u])
         return np.concatenate(parts_l), np.concatenate(parts_c)
+
+    def finalize_local(self) -> list[tuple[int, np.ndarray, np.ndarray]]:
+        """Multi-host variant of finalize(): merge across the mesh, then
+        return only this process's addressable range tables as
+        (mesh_position, keys [U, NL] row-major, counts [U]) tuples.
+
+        Each host writes its own ranges (the engine names them by mesh
+        position); concatenating all parts in mesh-position order yields
+        exactly the globally sorted table, with no cross-host gather.
+        """
+        lanes, counts, nuniq, overflow = self._finalize(
+            self.lanes, self.counts, self.offsets
+        )
+        block = self.D * self.bucket_cap
+        for shard in overflow.addressable_shards:
+            if int(np.asarray(shard.data)[0]) > 0:
+                raise MemoryError("merge bucket overflow; raise merge_slack")
+        nuniq_by_pos = {}
+        for shard in nuniq.addressable_shards:
+            pos = shard.index[0].start or 0
+            nuniq_by_pos[pos] = int(np.asarray(shard.data)[0])
+        counts_by_pos = {
+            (s.index[0].start or 0) // block: np.asarray(s.data)
+            for s in counts.addressable_shards
+        }
+        lanes_by_pos = {
+            (s.index[1].start or 0) // block: np.asarray(s.data)
+            for s in lanes.addressable_shards
+        }
+        out = []
+        for pos in sorted(counts_by_pos):
+            u = nuniq_by_pos[pos]
+            out.append(
+                (pos, lanes_by_pos[pos][:, :u].T, counts_by_pos[pos][:u])
+            )
+        return out

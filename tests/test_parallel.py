@@ -167,3 +167,21 @@ def test_sharded_matches_single_device(mesh8, make_reads):
         np.asarray(lanes_s)[:, : int(n_s)].T, np.asarray(counts_s)[: int(n_s)], k
     )
     assert table_as_counter(lanes_m, counts_m, k) == got_single
+
+
+def test_finalize_local_matches_finalize(mesh8, make_reads):
+    # Single-process: concatenating finalize_local parts in mesh order must
+    # equal the gathered finalize() result (the multi-host dump path).
+    k, L = 15, 40
+    c1 = ShardedCounter(mesh8, k, False, table_slots=2048, reads_per_device=4, line_length=L)
+    c2 = ShardedCounter(mesh8, k, False, table_slots=2048, reads_per_device=4, line_length=L)
+    reads = make_reads(32, L)
+    c1.step(reads)
+    c2.step(reads)
+    lanes, counts = c1.finalize()
+    parts = c2.finalize_local()
+    assert [p[0] for p in parts] == sorted(p[0] for p in parts)
+    lanes2 = np.concatenate([p[1] for p in parts])
+    counts2 = np.concatenate([p[2] for p in parts])
+    np.testing.assert_array_equal(lanes, lanes2)
+    np.testing.assert_array_equal(counts, counts2)
