@@ -376,8 +376,23 @@ class MeshCountEngine:
         t_start = time.perf_counter()
         D = self.mesh.devices.size
 
-        source = DirectoryInput(opts.input_dir)
+        multi_process = jax.process_count() > 1
+        shard = None
+        if multi_process:
+            shard = (jax.process_index(), jax.process_count())
+        source = DirectoryInput(opts.input_dir, shard=shard)
         usable = [L for L in source.probe_line_lengths() if L >= k]
+        if multi_process:
+            # Every process must agree on the chunk shape (the step is a
+            # collective): take the global max usable line length.
+            from jax.experimental import multihost_utils
+
+            local_max = max(usable) if usable else 0
+            all_max = multihost_utils.process_allgather(
+                np.array([local_max], np.int32)
+            )
+            global_max = int(np.max(all_max))
+            usable = [global_max] if global_max >= k else []
         if not usable:
             dump_table(
                 opts.output_file,
@@ -397,69 +412,112 @@ class MeshCountEngine:
                 f"table_slots/dev={table_slots // D + 1}"
             )
 
-        counters: dict[int, ShardedCounter] = {}
+        # One counter at the (global) max line length; chunks from shorter
+        # files are column-padded with zero bytes, which the encoder masks
+        # invalid — semantically identical to per-length processing, and it
+        # keeps the multi-host step a uniform collective.
+        counter = ShardedCounter(
+            self.mesh,
+            k,
+            opts.canonical,
+            table_slots=max(
+                table_slots // D, 4 * reads_per_device * (line_length - k + 1)
+            ),
+            reads_per_device=reads_per_device,
+            line_length=line_length,
+        )
 
-        def counter_for(L: int) -> ShardedCounter:
-            if L not in counters:
-                counters[L] = ShardedCounter(
-                    self.mesh,
-                    k,
-                    opts.canonical,
-                    table_slots=max(table_slots // D, 4 * reads_per_device * (L - k + 1)),
-                    reads_per_device=reads_per_device,
-                    line_length=L,
-                )
-            return counters[L]
-
+        # Each process supplies rows for its own devices only; the step
+        # assembles the global array from per-process blocks.
+        local_devices = sum(
+            1
+            for d in self.mesh.devices.flat
+            if d.process_index == jax.process_index()
+        )
+        want_rows = reads_per_device * local_devices
         chunk_q: "queue.Queue" = queue.Queue(maxsize=max(opts.prefetch_chunks, 1))
         ingest = threading.Thread(
             target=CountEngine._ingest_worker,
-            args=(self, source, reads_per_device * D, chunk_q, stats),
+            args=(self, source, want_rows, chunk_q, stats),
             daemon=True,
         )
         ingest.start()
-        while True:
-            item = chunk_q.get()
-            if item is _SENTINEL:
-                break
-            if item.line_length < k:
+
+        def next_local_chunk():
+            """Next [want_rows, line_length] matrix, or None when drained."""
+            while True:
+                item = chunk_q.get()
+                if item is _SENTINEL:
+                    return None
                 stats.reads += item.n_reads
                 stats.bases += item.n_reads * item.line_length
-                continue
-            counter = counter_for(item.line_length)
-            reads = item.reads
-            want_rows = reads_per_device * D
-            if reads.shape[0] < want_rows:
-                pad = np.zeros(
-                    (want_rows - reads.shape[0], reads.shape[1]), dtype=np.uint8
+                if item.line_length < k:
+                    continue  # no k-mers can come from these reads
+                reads = item.reads
+                if reads.shape[1] < line_length:
+                    reads = np.pad(
+                        reads, ((0, 0), (0, line_length - reads.shape[1]))
+                    )
+                if reads.shape[0] < want_rows:
+                    reads = np.pad(
+                        reads, ((0, want_rows - reads.shape[0]), (0, 0))
+                    )
+                return reads
+
+        if multi_process:
+            from jax.experimental import multihost_utils
+
+            empty = np.zeros((want_rows, line_length), np.uint8)
+            drained = False
+            while True:
+                reads = None if drained else next_local_chunk()
+                drained = reads is None
+                # Lockstep: continue while any process still has data.
+                anyone = multihost_utils.process_allgather(
+                    np.array([not drained], bool)
                 )
-                reads = np.vstack([reads, pad])
-            counter.step(reads)
-            stats.chunks += 1
-            stats.reads += item.n_reads
-            stats.bases += item.n_reads * item.line_length
+                if not bool(np.any(anyone)):
+                    break
+                counter.step(reads if reads is not None else empty)
+                if reads is not None:
+                    stats.chunks += 1
+        else:
+            while True:
+                reads = next_local_chunk()
+                if reads is None:
+                    break
+                counter.step(reads)
+                stats.chunks += 1
         ingest.join()
 
-        # Merge: each per-line-length counter finalizes into a host table;
-        # multiple tables (rare: mixed-length inputs) merge on host.
-        tables = [c.finalize() for c in counters.values()]
-        if not tables:
-            words = np.zeros((0, opts.words_per_kmer), np.uint64)
-            counts = np.zeros(0, np.uint32)
-        elif len(tables) == 1:
-            lanes, counts = tables[0]
-            words = records.lanes_to_words(lanes)
-        else:
-            merged: dict = {}
-            for lanes, counts_i in tables:
-                for w, c in zip(
-                    records.lanes_to_words(lanes).tolist(), counts_i.tolist()
-                ):
-                    key = tuple(w)
-                    merged[key] = merged.get(key, 0) + int(c)
-            keys = sorted(merged)
-            words = np.array(keys, dtype=np.uint64).reshape(len(keys), -1)
-            counts = np.array([merged[key] for key in keys], np.uint32)
+        if multi_process:
+            # Multi-host: every process dumps only its addressable key
+            # ranges as part files; concatenating parts in name order is
+            # the globally sorted table (range partition is monotonic).
+            import json
+
+            written = 0
+            for pos, lanes, counts in counter.finalize_local():
+                part = f"{opts.output_file}.part{pos:05d}"
+                dump_table(part, lanes, counts)
+                written += len(counts)
+            manifest = f"{opts.output_file}.manifest.{jax.process_index()}.json"
+            with open(manifest, "w") as fh:
+                json.dump(
+                    {
+                        "process": jax.process_index(),
+                        "processes": jax.process_count(),
+                        "records": written,
+                        "assembly": "cat output.part* (name order) -> sorted table",
+                    },
+                    fh,
+                )
+            stats.distinct_kmers = written
+            stats.wall_seconds = time.perf_counter() - t_start
+            return stats
+
+        lanes, counts = counter.finalize()
+        words = records.lanes_to_words(lanes)
 
         stats.distinct_kmers = len(words)
         stats.total_kmers = int(counts.sum())
@@ -473,7 +531,6 @@ class MeshCountEngine:
             os.makedirs(parent, exist_ok=True)
         with open(opts.output_file, "wb") as fh:
             fh.write(data)
-        stats.consolidations = sum(1 for _ in counters)
         stats.wall_seconds = time.perf_counter() - t_start
         if opts.verbose:
             print(

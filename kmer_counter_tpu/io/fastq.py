@@ -147,7 +147,11 @@ class DirectoryInput:
         directory: str,
         extensions=(".fastq", ".fq", ".txt"),
         use_native: bool | None = None,
+        shard: tuple[int, int] | None = None,
     ):
+        """``shard=(index, count)`` keeps only every count-th file starting
+        at index — multi-host ingest sharding (each process parses only its
+        own files; SURVEY.md §2.3 row 'Multi-GPU/multi-node')."""
         if not os.path.isdir(directory):
             raise FileNotFoundError(f"input directory not found: {directory}")
         names = sorted(
@@ -159,6 +163,13 @@ class DirectoryInput:
         if not names:
             raise FileNotFoundError(f"no FASTQ files in {directory}")
         self.paths = [os.path.join(directory, n) for n in names]
+        if shard is not None:
+            idx, count = shard
+            self.paths = [p for i, p in enumerate(self.paths) if i % count == idx]
+            if not self.paths:
+                raise FileNotFoundError(
+                    f"no FASTQ files for shard {idx}/{count} in {directory}"
+                )
         self._index = 0
         self._factory = self._pick_factory(use_native)
         self._reader = self._factory(self.paths[0])

@@ -67,19 +67,20 @@ class ShardedCounter:
         self.bucket_cap = int(min(table_slots, table_slots * merge_slack / self.D))
 
         # Record arrays are lane-major [NL, slots]; the slot axis is the
-        # sharded one.
+        # sharded one.  Zeros are created *on device* with the target
+        # sharding (host device_put cannot populate non-addressable shards
+        # on a multi-process mesh).
         self._lanes_spec = P(None, DATA_AXIS)
-        self.lanes = jax.device_put(
-            jnp.zeros((self.NL, self.D * table_slots), jnp.uint32),
-            NamedSharding(mesh, self._lanes_spec),
-        )
-        self.counts = jax.device_put(
-            jnp.zeros((self.D * table_slots,), jnp.uint32),
-            NamedSharding(mesh, P(DATA_AXIS)),
-        )
-        self.offsets = jax.device_put(
-            jnp.zeros((self.D,), jnp.int32), NamedSharding(mesh, P(DATA_AXIS))
-        )
+
+        def zeros(shape, dtype, spec):
+            return jax.jit(
+                lambda: jnp.zeros(shape, dtype),
+                out_shardings=NamedSharding(mesh, spec),
+            )()
+
+        self.lanes = zeros((self.NL, self.D * table_slots), jnp.uint32, self._lanes_spec)
+        self.counts = zeros((self.D * table_slots,), jnp.uint32, P(DATA_AXIS))
+        self.offsets = zeros((self.D,), jnp.int32, P(DATA_AXIS))
         self.host_bound = 0  # worst-case per-device offset
 
         self._step = self._build_step()
@@ -178,9 +179,20 @@ class ShardedCounter:
                 while self.host_bound + self.chunk_slots > new_slots:
                     new_slots *= 2
                 self._grow(new_slots)
-        dev_reads = jax.device_put(
-            reads, NamedSharding(self.mesh, P(DATA_AXIS))
-        )
+        sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        if jax.process_count() > 1:
+            # Each process passes only its devices' rows; the global array
+            # is assembled block-per-process (the step is a collective that
+            # every process must enter in lockstep).
+            global_shape = (
+                reads.shape[0] * jax.process_count(),
+                reads.shape[1],
+            )
+            dev_reads = jax.make_array_from_process_local_data(
+                sharding, reads, global_shape
+            )
+        else:
+            dev_reads = jax.device_put(reads, sharding)
         self.lanes, self.counts, self.offsets = self._step(
             self.lanes, self.counts, self.offsets, dev_reads
         )
@@ -188,6 +200,11 @@ class ShardedCounter:
 
     def _grow(self, new_slots: int):
         """Host-side capacity doubling of every table shard (rare)."""
+        if jax.process_count() > 1:
+            raise MemoryError(
+                "table shard full on a multi-process mesh: raise tableSlots "
+                "/ gpuMemoryLimit (dynamic growth is single-process only)"
+            )
         old = self.table_slots
         lanes = np.asarray(jax.device_get(self.lanes)).reshape(
             self.NL, self.D, old
@@ -218,7 +235,20 @@ class ShardedCounter:
         self.lanes, self.counts, self.offsets = self._consolidate(
             self.lanes, self.counts, self.offsets
         )
-        self.host_bound = int(np.max(jax.device_get(self.offsets)))
+        # The post-consolidation bound must be identical on every process
+        # (it gates the next collective), so take the global max.
+        local = max(
+            int(np.asarray(s.data)[0]) for s in self.offsets.addressable_shards
+        )
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            local = int(
+                np.max(
+                    multihost_utils.process_allgather(np.array([local], np.int32))
+                )
+            )
+        self.host_bound = local
 
     def finalize(self) -> tuple[np.ndarray, np.ndarray]:
         """Merge across devices; returns (sorted keys [U, NL] row-major,
