@@ -53,8 +53,8 @@ def host_proxy_throughput(reads, k, canonical):
 
 
 def main():
-    n_reads = int(os.environ.get("BENCH_READS", 16384))
-    iters = int(os.environ.get("BENCH_ITERS", 5))
+    n_reads = int(os.environ.get("BENCH_READS", 65536))
+    iters = int(os.environ.get("BENCH_ITERS", 8))
     k = int(os.environ.get("BENCH_K", 31))
     canonical = os.environ.get("BENCH_CANONICAL", "1") == "1"
     L = int(os.environ.get("BENCH_LINE_LEN", 100))
@@ -135,7 +135,7 @@ def main():
         file=sys.stderr,
     )
 
-    proxy_reads = reads[: max(n_reads // 16, 64)]
+    proxy_reads = reads[:1024]  # fixed size: keeps vs_baseline comparable
     proxy_tput = host_proxy_throughput(proxy_reads, k, canonical)
     print(f"[bench] host proxy {proxy_tput/1e6:.2f}M kmers/s", file=sys.stderr)
 

@@ -27,11 +27,19 @@ def main(argv: list[str] | None = None) -> int:
         from kmer_counter_tpu.io.printer import print_records
 
         _, input_path, output_path, k = argv
-        if output_path not in ("-", ""):
-            with open(output_path, "w") as fh:
-                print_records(input_path, int(k), out=fh)
-        else:
-            print_records(input_path, int(k))
+        try:
+            k_int = int(k)
+            if output_path not in ("-", ""):
+                with open(output_path, "w") as fh:
+                    print_records(input_path, k_int, out=fh)
+            else:
+                print_records(input_path, k_int)
+        except FileNotFoundError:
+            print(f"error: no such record file: {input_path}", file=sys.stderr)
+            return 2
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         return 0
 
     opts = Options.from_argv(argv)

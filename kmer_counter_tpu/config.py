@@ -40,7 +40,9 @@ class Options:
 
     # --- reference flags (names kept for CLI parity; defaults from
     # Options.cpp:16-22 where sane: k=32, 2 mergers x 2 threads; memory
-    # default follows main.cpp:28's 100 MB rather than the ctor's 10 MB) ---
+    # default follows main.cpp:28's 100 MB rather than the ctor's 10 MB.
+    # On real chips pass gpuMemoryLimit=2000000000: TPUs have 16+ GB of
+    # HBM and larger chunks measurably amortize per-chunk overheads. ---
     kmer_length: int = 32
     memory_limit_bytes: int = 100_000_000  # per-chip HBM working-set budget
     input_dir: str | None = None

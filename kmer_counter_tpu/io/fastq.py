@@ -170,9 +170,12 @@ class DirectoryInput:
                 raise FileNotFoundError(
                     f"no FASTQ files for shard {idx}/{count} in {directory}"
                 )
-        self._index = 0
         self._factory = self._pick_factory(use_native)
-        self._reader = self._factory(self.paths[0])
+        self._index = -1
+        self._reader = None
+        self._advance()
+        if self._reader is None:
+            raise FileNotFoundError(f"no readable FASTQ files in {directory}")
 
     @staticmethod
     def _pick_factory(use_native: bool | None):
@@ -200,23 +203,52 @@ class DirectoryInput:
             if i == self._index and self._reader is not None:
                 lengths.append(self._reader.line_length)
                 continue
-            probe = self._factory(path)
+            try:
+                probe = self._factory(path)
+            except (OSError, ValueError):
+                continue  # unreadable files are skipped at read time too
             lengths.append(probe.line_length)
             probe.close()
         return lengths
 
     def read_chunk(self, max_reads: int) -> FASTQChunk | None:
         while self._reader is not None:
-            chunk = self._reader.read_chunk(max_reads)
+            try:
+                chunk = self._reader.read_chunk(max_reads)
+            except (OSError, ValueError) as e:
+                # Per-file fault tolerance: warn and move to the next file,
+                # like the reference's open-failure handling
+                # (InputFileHandler.cpp:44-46) — a bad file must not kill a
+                # long multi-file run.
+                import sys
+
+                print(
+                    f"[ingest] skipping rest of {self.paths[self._index]}: {e}",
+                    file=sys.stderr,
+                )
+                chunk = None
             if chunk is not None:
                 return chunk
-            self._reader.close()
-            self._index += 1
-            if self._index < len(self.paths):
-                self._reader = self._factory(self.paths[self._index])
-            else:
-                self._reader = None
+            self._advance()
         return None
+
+    def _advance(self):
+        if self._reader is not None:
+            self._reader.close()
+        self._reader = None
+        while self._index + 1 < len(self.paths):
+            self._index += 1
+            try:
+                self._reader = self._factory(self.paths[self._index])
+                return
+            except (OSError, ValueError) as e:
+                import sys
+
+                print(
+                    f"[ingest] skipping {self.paths[self._index]}: {e}",
+                    file=sys.stderr,
+                )
+        self._index = len(self.paths)
 
     def close(self):
         if self._reader is not None:

@@ -114,3 +114,31 @@ def test_block_boundary_parsing(tmp_path, rng, monkeypatch):
     chunk = reader.read_chunk(100)
     assert chunk.n_reads == 10
     assert [bytes(r).decode() for r in chunk.reads] == seqs
+
+
+def test_directory_input_skips_bad_files(tmp_path, rng, capsys):
+    # A malformed file mid-run is skipped with a warning, not fatal
+    # (reference behavior: print and continue, InputFileHandler.cpp:44-46).
+    seqs_a = random_seqs(rng, 5, 30)
+    seqs_c = random_seqs(rng, 4, 30)
+    write_fastq(tmp_path / "a.fastq", seqs_a)
+    (tmp_path / "b.fastq").write_text("this is not fastq\nat all\n")
+    write_fastq(tmp_path / "c.fastq", seqs_c)
+    src = DirectoryInput(str(tmp_path), use_native=False)
+    got = []
+    while True:
+        chunk = src.read_chunk(100)
+        if chunk is None:
+            break
+        got += [bytes(r).decode() for r in chunk.reads[: chunk.n_reads]]
+    assert got == seqs_a + seqs_c
+    assert len(src.probe_line_lengths()) == 2
+
+
+def test_directory_input_bad_first_file(tmp_path, rng):
+    (tmp_path / "a.fastq").write_text("garbage\n")
+    seqs = random_seqs(rng, 3, 20)
+    write_fastq(tmp_path / "b.fastq", seqs)
+    src = DirectoryInput(str(tmp_path), use_native=False)
+    chunk = src.read_chunk(10)
+    assert [bytes(r).decode() for r in chunk.reads] == seqs
