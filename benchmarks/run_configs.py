@@ -26,20 +26,12 @@ import numpy as np
 
 
 def make_fixture(dirpath, rng, n_reads, L, n_files=1, genome_len=100_000, invalid=0.0):
+    from kmer_counter_tpu.utils.seqgen import make_fastq_dir
+
     os.makedirs(dirpath, exist_ok=True)
-    genome = rng.choice(list("ACGT"), size=genome_len)
-    per_file = n_reads // n_files
-    for f in range(n_files):
-        with open(os.path.join(dirpath, f"reads_{f:02d}.fastq"), "w") as fh:
-            for i in range(per_file):
-                start = rng.integers(0, genome_len - L)
-                seq = genome[start : start + L].copy()
-                if invalid:
-                    mask = rng.random(L) < invalid
-                    seq[mask] = "N"
-                s = "".join(seq)
-                fh.write(f"@r{f}_{i}\n{s}\n+\n{'I' * L}\n")
-    return per_file * n_files
+    return make_fastq_dir(
+        dirpath, rng, n_reads, L, n_files, genome_len, invalid_frac=invalid
+    )
 
 
 def golden_table(dirpath, k, canonical):

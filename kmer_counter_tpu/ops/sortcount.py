@@ -36,6 +36,11 @@ tiling, where a width-NL minor dimension would waste 128/NL of every tile.
 Contract: slots [0, num_unique) hold distinct keys sorted ascending with
 their summed counts; slots at and past num_unique have count 0 and
 *unspecified* key lanes (every consumer must gate on count > 0).
+
+Known limitation (inherited from the reference's uint32 count field,
+KMerSizes.h:10-28): a single k-mer observed more than 2^32-1 times wraps
+on device; the host merge paths (io.spill, native kc_merge_runs) saturate
+at the uint32 maximum instead.
 """
 
 from __future__ import annotations
