@@ -63,7 +63,7 @@ def main():
     import jax.numpy as jnp
 
     from kmer_counter_tpu.ops import table as table_ops
-    from kmer_counter_tpu.records import lanes_per_kmer
+    from kmer_counter_tpu.records import active_lanes
 
     rng = np.random.default_rng(0)
     # Genome-like workload: reads sampled from a fixed reference sequence so
@@ -85,7 +85,7 @@ def main():
     )
 
     table = jax.device_put(
-        table_ops.make_table(capacity, lanes_per_kmer(k)), device
+        table_ops.make_table(capacity, active_lanes(k)), device
     )
     dev_reads = jax.device_put(jnp.asarray(reads), device)
     n_scalar = jnp.int32(kmers_per_chunk)

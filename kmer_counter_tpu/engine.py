@@ -141,12 +141,12 @@ class CountEngine:
         usable = [L for L in all_lengths if L >= k]
         if not usable:
             # No file has reads long enough for a single k-mer.
-            dump_table(opts.output_file, np.zeros((0, opts.lanes_per_kmer), np.uint32), np.zeros(0, np.uint32))
+            dump_table(opts.output_file, np.zeros((0, records.active_lanes(k)), np.uint32), np.zeros(0, np.uint32))
             stats.wall_seconds = time.perf_counter() - t_start
             return stats
         line_length = max(usable)
         reads_per_chunk, table_slots = plan_chunks(opts, line_length)
-        NL = opts.lanes_per_kmer
+        NL = records.active_lanes(k)
         if opts.verbose:
             print(
                 f"[engine] k={k} canonical={opts.canonical} L={line_length} "
@@ -168,7 +168,8 @@ class CountEngine:
                 table_slots *= 2
             init_lanes = np.zeros((NL, table_slots), np.uint32)
             init_counts = np.zeros((table_slots,), np.uint32)
-            init_lanes[:, :U] = ck_lanes.T  # host tables are record-major
+            # host tables are record-major, ABI width; device carries active lanes
+            init_lanes[:, :U] = records.strip_lanes_to_active(ck_lanes, k).T
             init_counts[:U] = ck_counts
             table = jax.device_put(
                 table_ops.CountTable(init_lanes, init_counts, np.int32(U)),
@@ -396,7 +397,7 @@ class MeshCountEngine:
         if not usable:
             dump_table(
                 opts.output_file,
-                np.zeros((0, opts.lanes_per_kmer), np.uint32),
+                np.zeros((0, records.active_lanes(k)), np.uint32),
                 np.zeros(0, np.uint32),
             )
             stats.wall_seconds = time.perf_counter() - t_start

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from kmer_counter_tpu.records import BASES_PER_LANE, lanes_per_kmer
+from kmer_counter_tpu.records import BASES_PER_LANE, active_lanes
 
 
 def _pack_tree(codes: jnp.ndarray) -> jnp.ndarray:
@@ -56,15 +56,15 @@ def _rev_groups(v: jnp.ndarray) -> jnp.ndarray:
 
 def _fwd_lanes(A: jnp.ndarray, k: int, P: int) -> list[jnp.ndarray]:
     """Forward key lanes from the pack tree: lane i of window p is
-    A[p + 16i], tail-masked for the partial last lane."""
-    NL = lanes_per_kmer(k)
+    A[p + 16i], tail-masked for the partial last lane.
+
+    Only the ceil(k/16) *active* lanes are produced (records.active_lanes)
+    — the ABI's zero pad lanes would just widen every sort downstream.
+    """
     lanes = []
-    for i in range(NL):
+    for i in range(active_lanes(k)):
         base0 = i * BASES_PER_LANE
         n_bases = min(BASES_PER_LANE, k - base0)
-        if n_bases <= 0:
-            lanes.append(jnp.zeros(A.shape[:1] + (P,), dtype=jnp.uint32))
-            continue
         v = A[:, base0 : base0 + P]
         if n_bases < BASES_PER_LANE:
             drop = jnp.uint32(2 * (BASES_PER_LANE - n_bases))
@@ -80,13 +80,9 @@ def _rc_lanes(A: jnp.ndarray, k: int, P: int) -> list[jnp.ndarray]:
     complement = bitwise NOT; reversal = _rev_groups; the partial last lane
     reverses the window's first n bases and left-aligns them.
     """
-    NL = lanes_per_kmer(k)
     lanes = []
-    for i in range(NL):
+    for i in range(active_lanes(k)):
         n_bases = min(BASES_PER_LANE, k - i * BASES_PER_LANE)
-        if n_bases <= 0:
-            lanes.append(jnp.zeros(A.shape[:1] + (P,), dtype=jnp.uint32))
-            continue
         if n_bases == BASES_PER_LANE:
             off = k - BASES_PER_LANE * (i + 1)
             lanes.append(_rev_groups(~A[:, off : off + P]))
@@ -134,7 +130,8 @@ def extract_kmer_lanes(
       canonical: if True keys are min(kmer, revcomp(kmer)).
 
     Returns:
-      (lanes ``[NL, R, P] uint32``, window_valid ``[R, P] bool``) with
+      (lanes ``[NLa, R, P] uint32`` with NLa = records.active_lanes(k),
+      window_valid ``[R, P] bool``) with
       P = L - k + 1.  k-mers never cross reads (one window set per row),
       matching the reference's per-read sections (GPUHandler.cu:438-439).
     """

@@ -28,7 +28,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from kmer_counter_tpu.records import BASES_PER_LANE, lanes_per_kmer
+from kmer_counter_tpu.records import BASES_PER_LANE, active_lanes
 
 _PAD = BASES_PER_LANE - 1
 
@@ -46,7 +46,7 @@ def _rev_groups(v):
 def _extract_kernel(reads_ref, out_ref, *, k: int, canonical: bool, L: int):
     """One grid block: [BR, L+15] int32 padded reads -> [NL+1, BR, P]."""
     P = L - k + 1
-    NL = lanes_per_kmer(k)
+    NL = active_lanes(k)
 
     c = reads_ref[:]
     up = jnp.where((c >= ord("a")) & (c <= ord("z")), c - 32, c)
@@ -78,8 +78,6 @@ def _extract_kernel(reads_ref, out_ref, *, k: int, canonical: bool, L: int):
     def fwd_lane(i):
         base0 = i * BASES_PER_LANE
         n = min(BASES_PER_LANE, k - base0)
-        if n <= 0:
-            return jnp.zeros(A.shape[:1] + (P,), jnp.uint32)
         v = A[:, base0 : base0 + P]
         if n < BASES_PER_LANE:
             drop = jnp.uint32(2 * (BASES_PER_LANE - n))
@@ -88,8 +86,6 @@ def _extract_kernel(reads_ref, out_ref, *, k: int, canonical: bool, L: int):
 
     def rc_lane(i):
         n = min(BASES_PER_LANE, k - i * BASES_PER_LANE)
-        if n <= 0:
-            return jnp.zeros(A.shape[:1] + (P,), jnp.uint32)
         if n == BASES_PER_LANE:
             off = k - BASES_PER_LANE * (i + 1)
             return _rev_groups(~A[:, off : off + P])
@@ -139,7 +135,7 @@ def extract_chunk_lanes_major(
 
     R, L = reads.shape
     P = L - k + 1
-    NL = lanes_per_kmer(k)
+    NL = active_lanes(k)
     if R % block_rows != 0:
         raise ValueError(f"R={R} not a multiple of block_rows={block_rows}")
     grid = (R // block_rows,)

@@ -60,9 +60,9 @@ class ShardedCounter:
             raise ValueError("line_length shorter than k")
         if self.chunk_slots > table_slots:
             raise ValueError("per-device chunk exceeds table capacity")
-        from kmer_counter_tpu.records import lanes_per_kmer
+        from kmer_counter_tpu.records import active_lanes
 
-        self.NL = lanes_per_kmer(k)
+        self.NL = active_lanes(k)
         # Per-destination bucket capacity for the merge all_to_all.
         self.bucket_cap = int(min(table_slots, table_slots * merge_slack / self.D))
 

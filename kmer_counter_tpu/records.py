@@ -51,8 +51,39 @@ def words_per_kmer(k: int) -> int:
 
 
 def lanes_per_kmer(k: int) -> int:
-    """Number of uint32 device lanes: 2 * words_per_kmer(k)."""
+    """Number of uint32 lanes in the on-disk ABI: 2 * words_per_kmer(k)."""
     return 2 * words_per_kmer(k)
+
+
+def active_lanes(k: int) -> int:
+    """Number of lanes that can be non-zero: ceil(k/16).
+
+    The ABI pads keys to whole 64-bit words (lanes_per_kmer), but lanes
+    past ceil(k/16) are structurally zero, so device pipelines carry and
+    sort only the active ones — for k <= 16 that halves the sort width.
+    Conversion to the ABI width happens at the host boundary
+    (pad_lanes_to_abi / strip_lanes_to_active).
+    """
+    if not 1 <= k <= MAX_K:
+        raise ValueError(f"k must be in [1, {MAX_K}], got {k}")
+    return -(-k // BASES_PER_LANE)
+
+
+def pad_lanes_to_abi(lanes: np.ndarray, k: int) -> np.ndarray:
+    """[..., active_lanes(k)] → [..., lanes_per_kmer(k)] with zero tail."""
+    lanes = np.asarray(lanes, dtype=np.uint32)
+    NLa, NL = active_lanes(k), lanes_per_kmer(k)
+    if lanes.shape[-1] == NL:
+        return lanes
+    if lanes.shape[-1] != NLa:
+        raise ValueError(f"expected {NLa} or {NL} lanes, got {lanes.shape[-1]}")
+    pad = np.zeros(lanes.shape[:-1] + (NL - NLa,), np.uint32)
+    return np.concatenate([lanes, pad], axis=-1)
+
+
+def strip_lanes_to_active(lanes: np.ndarray, k: int) -> np.ndarray:
+    """[..., lanes_per_kmer(k)] → [..., active_lanes(k)] (drops zero tail)."""
+    return np.asarray(lanes, dtype=np.uint32)[..., : active_lanes(k)]
 
 
 def record_size_bytes(k: int) -> int:
@@ -115,8 +146,15 @@ def words_to_lanes(words: np.ndarray) -> np.ndarray:
 
 
 def lanes_to_words(lanes: np.ndarray) -> np.ndarray:
-    """uint32 device lanes [..., 2W] → uint64 key words [..., W]."""
+    """uint32 device lanes [..., NL] → uint64 key words [..., ceil(NL/2)].
+
+    Device pipelines carry only the ``active_lanes(k)`` lanes, which may be
+    odd; an odd lane count is zero-padded to the even ABI width here.
+    """
     lanes = np.asarray(lanes, dtype=np.uint32)
+    if lanes.shape[-1] % 2:
+        pad = np.zeros(lanes.shape[:-1] + (1,), np.uint32)
+        lanes = np.concatenate([lanes, pad], axis=-1)
     pairs = lanes.reshape(lanes.shape[:-1] + (lanes.shape[-1] // 2, 2)).astype(np.uint64)
     return (pairs[..., 0] << np.uint64(32)) | pairs[..., 1]
 

@@ -36,14 +36,14 @@ def test_extract_matches_host_pack(rng, k):
     codes, valid = encode_reads(jnp.asarray(reads))
     lanes, wvalid = extract_kmer_lanes(codes, valid, k)
     P = L - k + 1
-    assert lanes.shape == (records.lanes_per_kmer(k), 3, P)
+    assert lanes.shape == (records.active_lanes(k), 3, P)
     assert bool(np.asarray(wvalid).all())
     host_codes, _ = records.encode_bases(reads)
     for r in range(3):
         for p in range(P):
             want = records.words_to_lanes(
                 records.pack_codes(host_codes[r, p : p + k], k)
-            )
+            )[: records.active_lanes(k)]
             np.testing.assert_array_equal(np.asarray(lanes[:, r, p]), want)
 
 
@@ -67,7 +67,9 @@ def test_extract_canonical(rng, k):
     for r in range(2):
         for p in range(L - k + 1):
             fwd = records.pack_codes(host_codes[r, p : p + k], k)
-            want = records.words_to_lanes(records.canonical_words(fwd, k))
+            want = records.words_to_lanes(records.canonical_words(fwd, k))[
+                : records.active_lanes(k)
+            ]
             np.testing.assert_array_equal(np.asarray(lanes[:, r, p]), want)
 
 
