@@ -43,15 +43,26 @@ class FASTQChunk:
 
 
 class FASTQReader:
-    """Streaming parser for one FASTQ file (FASTQFileReader analog)."""
+    """Streaming parser for one FASTQ file (FASTQFileReader analog).
 
-    def __init__(self, path: str):
+    ``byte_range=(start, end)`` restricts parsing to the records whose
+    header line begins in [start, end): the reader seeks to ``start``,
+    resynchronizes to the next record boundary (a line starting with '@'
+    whose line+2 starts with '+', which rejects '@'-leading quality
+    lines), and stops at the first header at or past ``end`` — so
+    adjacent ranges partition a file exactly, enabling byte-range ingest
+    sharding across hosts when files are fewer than processes.
+    """
+
+    def __init__(self, path: str, byte_range: tuple[int, int] | None = None):
         self.path = path
         self._fh = open(path, "rb")
         self._carry = b""
         self._phase = 0  # line index mod 4 within the current record
         self._eof = False
         self._pending: list[np.ndarray] = []  # parsed seq lines (uint8)
+        self._limit = None  # absolute byte limit for record headers
+        self._pos = 0  # absolute offset of the first unconsumed byte
         # Fixed read length from the first record's sequence line
         # (FASTQFileReader.cpp:28-38).  Read until two lines are available.
         head = b""
@@ -67,6 +78,46 @@ class FASTQReader:
         self.line_length = len(lines[1])
         if self.line_length == 0:
             raise ValueError(f"{path}: empty first sequence line")
+        if byte_range is not None:
+            start, end = byte_range
+            self._limit = end
+            self._seek_to_record(max(start, 0))
+
+    def _seek_to_record(self, start: int):
+        """Position the stream at the first record header at or after
+        ``start`` (no-op for start == 0)."""
+        if start == 0:
+            return
+        # Read from start-1 so every line start is identified by the
+        # newline before it (a header exactly at `start` is then found).
+        base = start - 1
+        self._fh.seek(base)
+        window = b""
+        while True:
+            more = self._fh.read(_BLOCK_BYTES)
+            window += more
+            nls = np.flatnonzero(
+                np.frombuffer(window, dtype=np.uint8) == ord("\n")
+            ).tolist()
+            # candidate line starts (absolute) after each newline
+            for j, nl in enumerate(nls):
+                ls = nl + 1
+                if ls >= len(window) or window[ls] != ord("@"):
+                    continue
+                # the +2 line must start with '+': need two more newlines
+                if j + 2 >= len(nls):
+                    break  # extend window
+                plus = nls[j + 2] + 1
+                if plus < len(window) and window[plus] == ord("+"):
+                    self._fh.seek(base + ls)
+                    self._pos = base + ls
+                    return
+            if not more:
+                # no record begins in the remainder of the file
+                self._fh.seek(0, 2)
+                self._pos = self._fh.tell()
+                self._eof = True
+                return
 
     def close(self):
         self._fh.close()
@@ -102,6 +153,19 @@ class FASTQReader:
         starts = np.concatenate([[0], ends[:-1] + 1])
         # Sequence lines are record line 1 of each 4-line group.
         line_idx = self._phase + np.arange(ends.size)
+        if self._limit is not None:
+            # Stop at the first record header at or past the byte limit
+            # (records belong to the shard whose range holds their header).
+            is_header = (line_idx & 3) == 0
+            over = is_header & (self._pos + starts >= self._limit)
+            if over.any():
+                cut = int(np.argmax(over))
+                ends, starts, line_idx = ends[:cut], starts[:cut], line_idx[:cut]
+                self._eof = True
+                self._carry = b""
+                if ends.size == 0:
+                    return False
+        self._pos += len(data)  # data excludes the new carry tail
         is_seq = (line_idx & 3) == 1
         self._phase = int(line_idx[-1] + 1) & 3
         for s, e in zip(starts[is_seq], ends[is_seq]):
@@ -148,10 +212,16 @@ class DirectoryInput:
         extensions=(".fastq", ".fq", ".txt"),
         use_native: bool | None = None,
         shard: tuple[int, int] | None = None,
+        shard_mode: str = "auto",
     ):
-        """``shard=(index, count)`` keeps only every count-th file starting
-        at index — multi-host ingest sharding (each process parses only its
-        own files; SURVEY.md §2.3 row 'Multi-GPU/multi-node')."""
+        """``shard=(index, count)`` splits ingest across count processes
+        (multi-host data sharding, SURVEY.md §2.3 'Multi-GPU/multi-node').
+
+        ``shard_mode``: 'files' round-robins whole files; 'bytes' gives
+        every process a byte range of *every* file (records whose header
+        starts in the range), which balances even a single giant file;
+        'auto' picks bytes when there are fewer files than processes.
+        """
         if not os.path.isdir(directory):
             raise FileNotFoundError(f"input directory not found: {directory}")
         names = sorted(
@@ -163,13 +233,25 @@ class DirectoryInput:
         if not names:
             raise FileNotFoundError(f"no FASTQ files in {directory}")
         self.paths = [os.path.join(directory, n) for n in names]
+        self._byte_shard = None
         if shard is not None:
             idx, count = shard
-            self.paths = [p for i, p in enumerate(self.paths) if i % count == idx]
-            if not self.paths:
-                raise FileNotFoundError(
-                    f"no FASTQ files for shard {idx}/{count} in {directory}"
-                )
+            if shard_mode == "auto":
+                shard_mode = "bytes" if len(self.paths) < count else "files"
+            if shard_mode == "files":
+                self.paths = [
+                    p for i, p in enumerate(self.paths) if i % count == idx
+                ]
+                if not self.paths:
+                    raise FileNotFoundError(
+                        f"no FASTQ files for shard {idx}/{count} in {directory}"
+                    )
+            elif shard_mode == "bytes":
+                self._byte_shard = (idx, count)
+                if use_native is None:
+                    use_native = False  # byte ranges are Python-parser only
+            else:
+                raise ValueError(f"unknown shard_mode: {shard_mode!r}")
         self._factory = self._pick_factory(use_native)
         self._index = -1
         self._reader = None
@@ -232,6 +314,14 @@ class DirectoryInput:
             self._advance()
         return None
 
+    def _open(self, path: str):
+        if self._byte_shard is None:
+            return self._factory(path)
+        idx, count = self._byte_shard
+        size = os.path.getsize(path)
+        byte_range = (size * idx // count, size * (idx + 1) // count)
+        return FASTQReader(path, byte_range=byte_range)
+
     def _advance(self):
         if self._reader is not None:
             self._reader.close()
@@ -239,7 +329,7 @@ class DirectoryInput:
         while self._index + 1 < len(self.paths):
             self._index += 1
             try:
-                self._reader = self._factory(self.paths[self._index])
+                self._reader = self._open(self.paths[self._index])
                 return
             except (OSError, ValueError) as e:
                 import sys

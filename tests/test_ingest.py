@@ -142,3 +142,40 @@ def test_directory_input_bad_first_file(tmp_path, rng):
     src = DirectoryInput(str(tmp_path), use_native=False)
     chunk = src.read_chunk(10)
     assert [bytes(r).decode() for r in chunk.reads] == seqs
+
+
+def test_byte_range_sharding_partitions_exactly(tmp_path, rng):
+    # Adjacent byte ranges of one file partition its records exactly —
+    # multi-host ingest over a single giant file.
+    seqs = random_seqs(rng, 101, 37)
+    write_fastq(tmp_path / "big.fastq", seqs, header_extra="hdr" * 5)
+    got = []
+    for i in range(3):
+        src = DirectoryInput(str(tmp_path), shard=(i, 3), shard_mode="bytes")
+        while True:
+            chunk = src.read_chunk(17)
+            if chunk is None:
+                break
+            got += [bytes(r).decode() for r in chunk.reads[: chunk.n_reads]]
+    assert sorted(got) == sorted(seqs)
+    assert got == seqs  # ranges are contiguous and ordered
+
+
+def test_byte_range_handles_at_sign_quality(tmp_path):
+    # Quality lines starting with '@' must not break record resync.
+    from kmer_counter_tpu.io.fastq import FASTQReader
+
+    seqs = ["ACGTACGTAC", "TTTTACGTAA", "GGGGACGTCC", "AAAACCCGGT"]
+    data = "".join(f"@r{i}\n{s}\n+\n@@@@@@@@@@\n" for i, s in enumerate(seqs))
+    (tmp_path / "a.fastq").write_text(data)
+    size = len(data)
+    got = []
+    for i in range(2):
+        r = FASTQReader(
+            str(tmp_path / "a.fastq"),
+            byte_range=(size * i // 2, size * (i + 1) // 2),
+        )
+        chunk = r.read_chunk(10)
+        if chunk is not None:
+            got += [bytes(x).decode() for x in chunk.reads[: chunk.n_reads]]
+    assert got == seqs
