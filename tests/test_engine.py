@@ -122,3 +122,29 @@ def test_plan_chunks_budget():
     assert table_slots * 3 * 4 <= opts.memory_limit_bytes
     with pytest.raises(ValueError):
         plan_chunks(opts, line_length=20)
+
+
+def test_engine_profile_trace(tmp_path, rng, monkeypatch):
+    # profile=true wraps the run in a jax.profiler trace written next to
+    # the output; just verify the trace directory materializes.
+    import jax
+
+    if jax.default_backend() != "cpu":
+        pytest.skip("profiler smoke test runs on CPU")
+    (tmp_path / "in").mkdir()
+    write_fastq(tmp_path / "in" / "a.fastq", random_seqs(rng, 6, 30))
+    out = str(tmp_path / "out.bin")
+    from kmer_counter_tpu.engine import run_count
+
+    opts = Options(
+        kmer_length=9,
+        input_dir=str(tmp_path / "in"),
+        output_file=out,
+        profile=True,
+        verbose=0,
+    )
+    stats = run_count(opts)
+    assert stats.reads == 6
+    import os
+
+    assert os.path.isdir(out + ".trace")
