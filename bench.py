@@ -16,8 +16,11 @@ reference's *active* aggregation design (NumPy vectorized extract + sort —
 generous to the reference, whose actual path is a single-thread -O0 hash
 insert loop).  vs_baseline = device_throughput / host_proxy_throughput.
 
-Env knobs: BENCH_READS (default 16384), BENCH_ITERS (5), BENCH_K (31),
-BENCH_CANONICAL (1), BENCH_LINE_LEN (100).
+Env knobs: BENCH_READS (default 65536), BENCH_ITERS (8), BENCH_K (31),
+BENCH_CANONICAL (1), BENCH_LINE_LEN (100), BENCH_GENOME (1000000),
+JAX_COMPILATION_CACHE_DIR (default /tmp/jax_compile_cache — remote
+compiles through this environment's tunnel take minutes; the persistent
+cache makes reruns start in seconds).
 """
 
 import json
@@ -60,6 +63,14 @@ def main():
     L = int(os.environ.get("BENCH_LINE_LEN", 100))
 
     import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache"),
+        )
+    except Exception:
+        pass  # cache is an optimization only
     import jax.numpy as jnp
 
     from kmer_counter_tpu.ops import table as table_ops

@@ -54,6 +54,7 @@ class Options:
     # --- TPU-native extensions ---
     canonical: bool = False  # min(kmer, revcomp) keys; False == reference
     mesh_shape: tuple[int, ...] | None = None  # None => all local devices
+    merge_slack: float = 4.0  # all_to_all bucket headroom vs key-space skew
     reads_per_chunk: int | None = None  # override auto chunk sizing
     table_slots: int | None = None  # override HBM accumulator capacity
     prefetch_chunks: int = 2  # host ingest pipeline depth (8-stream analog)
@@ -81,6 +82,7 @@ class Options:
         # extensions
         "canonical": ("canonical", _parse_bool),
         "meshShape": ("mesh_shape", _parse_mesh),
+        "mergeSlack": ("merge_slack", float),
         "readsPerChunk": ("reads_per_chunk", int),
         "tableSlots": ("table_slots", int),
         "prefetchChunks": ("prefetch_chunks", int),

@@ -80,7 +80,7 @@ def plan_chunks(
         raise ValueError(
             f"line length {line_length} < k={k}: no k-mers can be extracted"
         )
-    NL = opts.lanes_per_kmer
+    NL = records.active_lanes(k)  # device slots carry active lanes only
     slot_bytes = (NL + 1) * 4
     table_slots = opts.table_slots or max(
         opts.memory_limit_bytes // 2 // (slot_bytes * 3), 1 << 14
@@ -426,6 +426,7 @@ class MeshCountEngine:
             ),
             reads_per_device=reads_per_device,
             line_length=line_length,
+            merge_slack=opts.merge_slack,
         )
 
         # Each process supplies rows for its own devices only; the step

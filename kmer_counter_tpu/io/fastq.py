@@ -75,7 +75,7 @@ class FASTQReader:
         lines = head.split(b"\n")
         if len(lines) < 2 or not lines[0].startswith(b"@"):
             raise ValueError(f"{path}: not a FASTQ file")
-        self.line_length = len(lines[1])
+        self.line_length = len(lines[1].rstrip(b"\r"))
         if self.line_length == 0:
             raise ValueError(f"{path}: empty first sequence line")
         if byte_range is not None:

@@ -197,6 +197,7 @@ class MergeScheduler:
         self.pool = ThreadPoolExecutor(max_workers=max(threads, 1))
         self._lock = threading.Lock()
         self._runs: list[str] = []
+        self._errors: list[BaseException] = []
         self._pending = 0
         self._done = threading.Condition(self._lock)
         self._seq = 0
@@ -211,6 +212,8 @@ class MergeScheduler:
     def _maybe_merge_locked(self):
         # Merge eagerly while enough runs are queued; keep the last merge
         # for finish() so the final output path is controlled.
+        if self._errors:
+            return  # fail fast at finish(); don't retry a failing batch
         while len(self._runs) >= 2 * self.fan_in:
             batch, self._runs = self._runs[: self.fan_in], self._runs[self.fan_in :]
             self._seq += 1
@@ -231,11 +234,14 @@ class MergeScheduler:
                 self._pending -= 1
                 self._maybe_merge_locked()
                 self._done.notify_all()
-        except BaseException:
+        except BaseException as e:
+            # Never silently drop records: put the un-merged batch back in
+            # the queue and surface the error at finish().
             with self._lock:
+                self._runs.extend(batch)
+                self._errors.append(e)
                 self._pending -= 1
                 self._done.notify_all()
-            raise
 
     def finish(self, out_path: str) -> int:
         """Wait for background merges, then merge all remaining runs into
@@ -243,6 +249,11 @@ class MergeScheduler:
         with self._lock:
             while self._pending:
                 self._done.wait()
+            if self._errors:
+                raise RuntimeError(
+                    f"{len(self._errors)} background merge(s) failed; first: "
+                    f"{self._errors[0]!r}"
+                ) from self._errors[0]
             runs = list(self._runs)
             self._runs = []
         self.pool.shutdown(wait=True)

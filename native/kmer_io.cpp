@@ -35,11 +35,6 @@ struct FastqReader {
   long line_length = 0;
   long phase = 0;                   // line index mod 4
   bool eof = false;
-  std::string error;
-
-  // a parsed-but-undelivered sequence line (when chunk filled mid-block)
-  std::vector<unsigned char> pending;
-  bool has_pending = false;
 };
 
 // Read more bytes into buf (compacting consumed prefix). Returns false at EOF
@@ -114,6 +109,10 @@ void* kc_open(const char* path) {
   // rewind: simplest is to reopen
   fclose(r->f);
   r->f = fopen(path, "rb");
+  if (r->f == nullptr) {
+    delete r;
+    return nullptr;
+  }
   r->buf.clear();
   r->buf_pos = 0;
   r->phase = 0;
@@ -133,11 +132,6 @@ long kc_read_chunk(void* h, unsigned char* out, long max_reads) {
   const long L = r->line_length;
   long delivered = 0;
   memset(out, 0, static_cast<size_t>(max_reads) * L);
-  if (r->has_pending) {
-    memcpy(out, r->pending.data(), r->pending.size());
-    r->has_pending = false;
-    ++delivered;
-  }
   while (delivered < max_reads) {
     size_t s, e;
     if (!next_line(r, &s, &e)) {
@@ -261,6 +255,7 @@ long kc_merge_runs(const char** paths, int n, const char* out_path, int k) {
   bool have_cur = false;
   long written = 0;
 
+  bool write_failed = false;
   auto emit = [&]() {
     size_t off = obuf.size();
     obuf.resize(off + rec_bytes);
@@ -270,7 +265,8 @@ long kc_merge_runs(const char** paths, int n, const char* out_path, int k) {
     memcpy(&obuf[off + W * 8], &c32, 4);
     ++written;
     if (obuf.size() >= (1u << 16) * rec_bytes) {
-      fwrite(obuf.data(), 1, obuf.size(), out);
+      if (fwrite(obuf.data(), 1, obuf.size(), out) != obuf.size())
+        write_failed = true;  // e.g. disk full; surfaced as -1 below
       obuf.clear();
     }
   };
@@ -297,9 +293,11 @@ long kc_merge_runs(const char** paths, int n, const char* out_path, int k) {
     }
   }
   if (have_cur) emit();
-  if (!obuf.empty()) fwrite(obuf.data(), 1, obuf.size(), out);
-  fclose(out);
-  return written;
+  if (!obuf.empty() &&
+      fwrite(obuf.data(), 1, obuf.size(), out) != obuf.size())
+    write_failed = true;
+  if (fclose(out) != 0) write_failed = true;
+  return write_failed ? -1 : written;
 }
 
 }  // extern "C"

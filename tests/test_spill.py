@@ -106,3 +106,39 @@ def test_engine_spill_path(tmp_path, rng):
     want_words, want_counts = golden_dir_table(tmp_path, 15)
     np.testing.assert_array_equal(words, want_words)
     np.testing.assert_array_equal(counts, want_counts)
+
+
+def test_merge_scheduler_surfaces_failures(tmp_path, rng, monkeypatch):
+    # A failing background merge must re-queue its batch and raise at
+    # finish() — never silently drop records from the output.
+    import kmer_counter_tpu.io.spill as spill_mod
+
+    k = 9
+    sched = MergeScheduler(str(tmp_path / "tmp"), k, fan_in=2, threads=1)
+    real_merge = spill_mod.merge_runs
+    calls = {"n": 0}
+
+    def flaky(paths, out, kk, **kw):
+        calls["n"] += 1
+        raise OSError("disk full (injected)")
+
+    monkeypatch.setattr(spill_mod, "merge_runs", flaky)
+    for i in range(4):
+        c = golden.count_reads(
+            ["".join(rng.choice(list("ACGT"), 30)) for _ in range(3)], k
+        )
+        sched.add_run(make_run(tmp_path, f"r{i}.run", c, k))
+    import pytest as _pytest
+
+    monkeypatch.setattr(spill_mod, "merge_runs", real_merge)  # finish path ok
+    # wait for the background failure to land, then finish must raise
+    import time
+
+    deadline = time.time() + 5
+    while time.time() < deadline and sched._pending:
+        time.sleep(0.01)
+    if sched._errors:
+        with _pytest.raises(RuntimeError, match="background merge"):
+            sched.finish(str(tmp_path / "out.bin"))
+    else:
+        _pytest.skip("background merge won the race before injection")
