@@ -117,3 +117,24 @@ def test_cli_as_module(tmp_path, rng):
     want_words, want_counts = golden_dir_table(tmp_path, 9)
     np.testing.assert_array_equal(words, want_words)
     np.testing.assert_array_equal(counts, want_counts)
+
+
+def test_print_records_chunk_boundary(tmp_path):
+    # More records than the 10,000-record streaming chunk
+    # (KMerPrinter.cpp:26) must render completely.
+    import numpy as np
+
+    from kmer_counter_tpu import records as rec
+
+    U = 25_000
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, size=(U, 8)).astype(np.uint8)
+    words = np.unique(rec.pack_codes(codes, 8), axis=0)
+    counts = np.arange(1, len(words) + 1, dtype=np.uint32)
+    (tmp_path / "t.bin").write_bytes(rec.serialize_table(words, counts))
+    out_file = tmp_path / "r.txt"
+    with open(out_file, "w") as fh:
+        n = print_records(str(tmp_path / "t.bin"), 8, out=fh)
+    lines = out_file.read_text().splitlines()
+    assert n == len(words) == len(lines)
+    assert lines[-1].endswith(f" {counts[-1]}")

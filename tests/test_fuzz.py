@@ -1,0 +1,60 @@
+"""Randomized differential testing: device pipeline vs the golden model.
+
+Each case draws k, canonical, read length, read count, invalid-base rate
+and duplication level from a seeded RNG and requires exact count-table
+equality — the property the whole framework must uphold.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from kmer_counter_tpu import golden
+from kmer_counter_tpu.ops import count_chunk
+from kmer_counter_tpu.utils.seqgen import random_genome, sample_reads
+
+from tests.test_ops import table_to_counter
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_pipeline_matches_golden_fuzzed(seed):
+    rng = np.random.default_rng(1000 + seed)
+    k = int(rng.integers(2, 65))
+    L = int(k + rng.integers(1, 40))
+    R = int(rng.integers(1, 24))
+    canonical = bool(rng.integers(0, 2))
+    invalid = float(rng.choice([0.0, 0.02, 0.15]))
+    genome = random_genome(rng, int(rng.integers(L, 4 * L * R + L)))
+    reads = sample_reads(rng, genome, R, L, invalid_frac=invalid)
+    lanes, counts, n = count_chunk(jnp.asarray(reads), k, canonical)
+    got = table_to_counter(lanes, counts, n, k)
+    want = dict(golden.count_reads(reads, k, canonical))
+    assert got == want, f"seed={seed} k={k} L={L} R={R} canonical={canonical}"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_sharded_matches_golden_fuzzed(seed):
+    import jax
+
+    from kmer_counter_tpu.parallel.mesh import make_mesh
+    from kmer_counter_tpu.parallel.pipeline import ShardedCounter
+    from tests.test_parallel import table_as_counter
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(2000 + seed)
+    k = int(rng.integers(3, 40))
+    L = int(k + rng.integers(4, 30))
+    canonical = bool(rng.integers(0, 2))
+    genome = random_genome(rng, 500)
+    counter = ShardedCounter(
+        mesh, k, canonical, table_slots=4096, reads_per_device=3, line_length=L
+    )
+    want = {}
+    for _ in range(int(rng.integers(1, 4))):
+        reads = sample_reads(rng, genome, 24, L, invalid_frac=0.03)
+        for key, c in golden.count_reads(reads, k, canonical).items():
+            want[key] = want.get(key, 0) + c
+        counter.step(reads)
+    lanes, counts = counter.finalize()
+    assert table_as_counter(lanes, counts, k) == want, f"seed={seed} k={k}"
