@@ -3,7 +3,7 @@
 The TPU-native analog of KMerCounter (KMerCounter.cpp:108-191).  Where the
 reference busy-waits on a pool of 8 CUDA streams and spawns a host thread
 per chunk (KMerCounter.cpp:117-147), this engine exploits JAX's async
-dispatch: a single host thread enqueues ``count_chunk`` + ``append`` steps
+dispatch: a single host thread enqueues ``extract_chunk`` + ``append`` steps
 that the device executes while the ingest prefetch thread parses the next
 chunks — the same overlap with no stream bookkeeping.
 

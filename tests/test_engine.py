@@ -148,3 +148,14 @@ def test_engine_profile_trace(tmp_path, rng, monkeypatch):
     import os
 
     assert os.path.isdir(out + ".trace")
+
+
+def test_engine_k128_end_to_end(tmp_path, rng):
+    # Largest supported k (4-word keys, reference envelope GPUHandler.cu:300-327).
+    (tmp_path / "in").mkdir()
+    write_fastq(tmp_path / "in" / "a.fastq", random_seqs(rng, 6, 140))
+    (words, counts), stats = run_engine(tmp_path, 128, reads_per_chunk=4)
+    want_words, want_counts = golden_dir_table(tmp_path, 128)
+    np.testing.assert_array_equal(words, want_words)
+    np.testing.assert_array_equal(counts, want_counts)
+    assert words.shape[1] == 4
