@@ -40,6 +40,36 @@ def extract_chunk(
 
 
 @partial(jax.jit, static_argnames=("k", "canonical"))
+def extract_chunk_keys(
+    reads: jnp.ndarray, k: int, canonical: bool = False
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Extract one chunk's k-mer keys with validity encoded in-band.
+
+    Like extract_chunk but returns no counts operand at all: masked
+    windows get the all-ones sentinel key, so a raw record is valid iff
+    its lanes differ from the sentinel (ops.table2's keys-only raw
+    region).  Returns (lanes ``[NL, R*(L-k+1)] uint32``, allt scalar
+    uint32): when k % 16 == 0 and not canonical, a valid all-T k-mer is
+    bit-identical to the sentinel, so those windows are tallied into
+    ``allt`` instead of the key stream (canonical(T^k) = A^k, so the
+    canonical path never produces the sentinel pattern).
+    """
+    codes, valid = encode_reads(reads)
+    lanes, wvalid = extract_kmer_lanes(codes, valid, k, canonical)
+    NL, R, P = lanes.shape
+    flat = lanes.reshape(NL, R * P)
+    wv = wvalid.reshape(R * P)
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    if k % 16 == 0 and not canonical:
+        is_allt = jnp.all(flat == sentinel, axis=0) & wv
+        allt = jnp.sum(is_allt.astype(jnp.uint32))
+        wv = wv & ~is_allt
+    else:
+        allt = jnp.uint32(0)
+    return jnp.where(wv[None, :], flat, sentinel), allt
+
+
+@partial(jax.jit, static_argnames=("k", "canonical"))
 def count_chunk(
     reads: jnp.ndarray, k: int, canonical: bool = False
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

@@ -1,0 +1,116 @@
+"""Two-level table (ops.table2) vs the golden model.
+
+Exercises the steady-state loop the engine/bench run: sentinel-encoded
+keys-only raw appends, merge-consolidations at arbitrary points, prefix
+pair-rows across rounds, the all-T side counter at k%16==0, and grow.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kmer_counter_tpu import golden, records
+from kmer_counter_tpu.ops import table2 as t2
+from kmer_counter_tpu.ops.pipeline import extract_chunk_keys
+
+from conftest import random_reads
+
+
+def table_counter(table, k):
+    """Fully finalize a TwoLevelTable to {key-words tuple: count}."""
+    table, live, lost = t2.consolidate2(table)
+    assert int(lost) == 0
+    lanes, counts, n = t2.finalize2(table)
+    n = int(n)
+    got = {}
+    words = records.lanes_to_words(
+        np.asarray(lanes[:, :n].T) if n else np.zeros((0, lanes.shape[0]), np.uint32)
+    )
+    for row, c in zip(words, np.asarray(counts[:n])):
+        got[tuple(int(w) for w in row)] = int(c)
+    allt = int(table.allt)
+    if allt:
+        tkey = tuple(records.pack_codes(np.full(k, 3, np.uint8), k).tolist())
+        assert tkey not in got
+        got[tkey] = allt
+    return got
+
+
+def run_rounds(reads_list, k, canonical, cp, cr, consolidate_every=None):
+    NL = records.active_lanes(k)
+    table = t2.make_table2(cp, cr, NL)
+    for i, reads in enumerate(reads_list):
+        lanes, allt = extract_chunk_keys(jnp.asarray(reads), k, canonical)
+        if int(table.raw_off) + lanes.shape[1] > cr or (
+            consolidate_every and i and i % consolidate_every == 0
+        ):
+            table, live, lost = t2.consolidate2(table)
+            assert int(lost) == 0
+        table = t2.append_raw(table, lanes, allt)
+    return table
+
+
+@pytest.mark.parametrize("k", [4, 15, 31, 55])
+@pytest.mark.parametrize("canonical", [False, True])
+def test_two_level_matches_golden(rng, k, canonical):
+    L = max(k + 9, 40)
+    chunks = [random_reads(rng, 12, L, invalid_frac=0.05) for _ in range(5)]
+    P = L - k + 1
+    table = run_rounds(chunks, k, canonical, cp=4 * 12 * P, cr=2 * 12 * P,
+                       consolidate_every=2)
+    want = dict(golden.count_reads(np.vstack(chunks), k, canonical))
+    assert table_counter(table, k) == want
+
+
+@pytest.mark.parametrize("canonical", [False, True])
+def test_two_level_allt_k16(rng, canonical):
+    # k % 16 == 0: a valid all-T k-mer is bit-identical to the sentinel and
+    # must flow through the side counter (forward) / the A^k key (canonical).
+    k = 16
+    base = random_reads(rng, 6, 40, invalid_frac=0.02)
+    allt_reads = np.full((3, 40), ord("T"), np.uint8)
+    allt_reads[1, 5] = ord("N")  # invalid base inside a T run
+    chunks = [base, allt_reads]
+    table = run_rounds(chunks, k, canonical, cp=4096, cr=2048)
+    want = dict(golden.count_reads(np.vstack(chunks), k, canonical))
+    assert table_counter(table, k) == want
+
+
+def test_two_level_repeated_consolidation_pairs(rng):
+    # The same keys re-appear each round: the prefix accumulates two live
+    # rows per key between rounds and _collapse_prefix must fold them.
+    k = 15
+    reads = random_reads(rng, 8, 30)
+    chunks = [reads] * 4
+    table = run_rounds(chunks, k, False, cp=2048, cr=256, consolidate_every=1)
+    want = {key: 4 * c for key, c in golden.count_reads(reads, k, False).items()}
+    assert table_counter(table, k) == want
+
+
+def test_two_level_grow(rng):
+    k = 15
+    reads = random_reads(rng, 8, 30)
+    NL = records.active_lanes(k)
+    lanes, allt = extract_chunk_keys(jnp.asarray(reads), k, False)
+    # prefix too small for the distinct keys: consolidation detects the
+    # truncation it would have caused (consolidate2 donates its input, so
+    # build a throwaway table for the probe).
+    probe = t2.append_raw(t2.make_table2(64, 256, NL), lanes, allt)
+    _, _, lost = t2.consolidate2(probe)
+    assert int(lost) > 0
+    table = t2.append_raw(t2.make_table2(64, 256, NL), lanes, allt)
+    table = t2.grow2(table, 2048, 256)
+    want = dict(golden.count_reads(reads, k, False))
+    assert table_counter(table, k) == want
+
+
+def test_extract_chunk_keys_sentinels(rng):
+    reads = random_reads(rng, 4, 20, invalid_frac=0.2)
+    lanes, allt = extract_chunk_keys(jnp.asarray(reads), 7, False)
+    assert int(allt) == 0
+    arr = np.asarray(lanes)
+    sent = np.all(arr == 0xFFFFFFFF, axis=0)
+    n_valid = sum(
+        c for c in golden.count_reads(reads, 7, False).values()
+    )
+    assert (~sent).sum() == n_valid
