@@ -98,6 +98,29 @@ def _next_boundary_pos(boundary: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _fill_from_right(flags: jnp.ndarray, vals: jnp.ndarray, fill):
+    """out[i] = vals[j] for the smallest j >= i with flags[j]; ``fill``
+    where no such j exists.  A suffix select-scan — the scatter/gather-free
+    way to read "the value at the next marked row" (XLA gather measured 46x
+    a sort-based permutation on TPU; this is a handful of cumsum-cost
+    passes).  The combine (leftmost flagged wins) is associative, and it is
+    wraparound-safe: values are selected, never added."""
+
+    def comb(a, b):
+        # reverse=True flips, scans forward, flips back: the element nearer
+        # the ORIGINAL left arrives as ``b``, and it wins when flagged.
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, va)
+
+    # Unflagged slots carry ``fill``: when nothing is flagged at or after i,
+    # the select chain bottoms out at the last slot's fill value.
+    _, out = jax.lax.associative_scan(
+        comb, (flags, jnp.where(flags, vals, fill)), reverse=True
+    )
+    return out
+
+
 def _collapse_prefix(lanes: jnp.ndarray, counts: jnp.ndarray):
     """Fold duplicate-key runs onto their first row (sorted input, holes
     allowed).  Returns (eff_lanes, collapsed_counts) where non-first rows
@@ -111,9 +134,11 @@ def _collapse_prefix(lanes: jnp.ndarray, counts: jnp.ndarray):
     boundary = jnp.concatenate([jnp.ones((1,), dtype=bool), prev_differs])
     csum = jnp.cumsum(counts)
     starts = csum - counts
-    total = csum[-1]
-    nb = _next_boundary_pos(boundary)
-    start_next = jnp.where(nb < CP, jnp.take(starts, jnp.minimum(nb, CP - 1)), total)
+    # starts at the next boundary == inclusive csum at the end of my run:
+    # a gather-free suffix fill from run-end rows (ADVICE r1: the previous
+    # jnp.take gather cost 41.5ms at 4.6M rows on-chip; this is ~2ms).
+    is_end = jnp.concatenate([boundary[1:], jnp.ones((1,), dtype=bool)])
+    start_next = _fill_from_right(is_end, csum, csum[-1])
     run_total = start_next - starts  # u32 wrap cancels
     keep = boundary & ~is_sent
     new_counts = jnp.where(keep, run_total, jnp.uint32(0))
@@ -190,5 +215,67 @@ def grow2(table: TwoLevelTable, prefix_slots: int, raw_slots: int) -> TwoLevelTa
 def finalize2(table: TwoLevelTable):
     """Fully deduped compacted prefix (raw region must already be merged:
     raw_off == 0).  Returns (lanes [NL, CP], counts, num_unique) per the
-    sort_reduce contract; the allt side count is handled by the caller."""
+    sort_reduce contract; the allt side count is handled by the caller
+    (use ``finalize_host`` for the complete, checked protocol)."""
     return sort_reduce(table.prefix_lanes, table.prefix_counts)
+
+
+def raw_append_fits(table: TwoLevelTable, chunk_width: int) -> bool:
+    """Host-side overflow guard for ``append_raw``: the host mirrors
+    raw_off exactly (appends advance by the chunk's static width), so this
+    check is authoritative.  A violated bound would make
+    ``dynamic_update_slice`` silently clamp and overwrite the newest
+    previously-appended records (ADVICE r1) — callers must consolidate
+    (or grow) when this returns False."""
+    return int(jax.device_get(table.raw_off)) + chunk_width <= table.raw_lanes.shape[1]
+
+
+def finalize_host(table: TwoLevelTable, k: int):
+    """The one checked host-side finalize for a TwoLevelTable.
+
+    Centralizes the two protocol obligations that would otherwise be on
+    every caller (ADVICE r1): (a) any outstanding raw region is merged and
+    a nonzero ``lost`` (live records truncated by an undersized prefix) is
+    a hard error, never silent truncation; (b) when k % 16 == 0 in forward
+    mode, the all-T k-mer — bit-identical to the sentinel, so counted out
+    of band (see module docstring) — is re-materialized as the final,
+    maximum-key record.
+
+    Returns (lanes ``[num_unique, NL] uint32`` record-major, counts
+    ``[num_unique] uint32``), keys sorted ascending — ready for
+    io.dump.dump_table.
+    """
+    import numpy as np
+
+    if int(jax.device_get(table.raw_off)) > 0:
+        table, _live, lost = consolidate2(table)
+        lost = int(jax.device_get(lost))
+        if lost:
+            raise RuntimeError(
+                f"two-level consolidation truncated {lost} live records: "
+                "prefix region undersized (grow2 before finalize)"
+            )
+    lanes, counts, num_unique = finalize2(table)
+    n = int(jax.device_get(num_unique))
+    NL = table.prefix_lanes.shape[0]
+    out_lanes = (
+        np.asarray(jax.device_get(lanes[:, :n])).T
+        if n
+        else np.zeros((0, NL), np.uint32)
+    )
+    out_counts = np.asarray(jax.device_get(counts[:n]), dtype=np.uint32)
+    allt = int(jax.device_get(table.allt))
+    if allt:
+        # T^k packs to all-ones in every active lane: the maximum possible
+        # key, so appending keeps the table sorted.
+        tk = np.full((1, NL), 0xFFFFFFFF, np.uint32)
+        if out_lanes.shape[0] and np.array_equal(out_lanes[-1], tk[0]):
+            raise AssertionError(
+                "all-T key present in the key stream despite the side "
+                "counter: extract_chunk_keys contract violated"
+            )
+        out_lanes = np.concatenate([out_lanes, tk], axis=0)
+        out_counts = np.concatenate(
+            [out_counts, np.asarray([allt], np.uint32)]
+        )
+    return out_lanes, out_counts

@@ -17,22 +17,13 @@ from conftest import random_reads
 
 
 def table_counter(table, k):
-    """Fully finalize a TwoLevelTable to {key-words tuple: count}."""
-    table, live, lost = t2.consolidate2(table)
-    assert int(lost) == 0
-    lanes, counts, n = t2.finalize2(table)
-    n = int(n)
+    """Fully finalize a TwoLevelTable to {key-words tuple: count} through
+    the production finalize_host protocol (lost check + allt record)."""
+    lanes, counts = t2.finalize_host(table, k)
+    words = records.lanes_to_words(lanes)
     got = {}
-    words = records.lanes_to_words(
-        np.asarray(lanes[:, :n].T) if n else np.zeros((0, lanes.shape[0]), np.uint32)
-    )
-    for row, c in zip(words, np.asarray(counts[:n])):
+    for row, c in zip(words, counts):
         got[tuple(int(w) for w in row)] = int(c)
-    allt = int(table.allt)
-    if allt:
-        tkey = tuple(records.pack_codes(np.full(k, 3, np.uint8), k).tolist())
-        assert tkey not in got
-        got[tkey] = allt
     return got
 
 
@@ -102,6 +93,41 @@ def test_two_level_grow(rng):
     table = t2.grow2(table, 2048, 256)
     want = dict(golden.count_reads(reads, k, False))
     assert table_counter(table, k) == want
+
+
+def test_finalize_host_merges_and_raises_on_lost(rng):
+    k = 15
+    reads = random_reads(rng, 8, 30)
+    NL = records.active_lanes(k)
+    lanes, allt = extract_chunk_keys(jnp.asarray(reads), k, False)
+    # Outstanding raw region is merged implicitly by finalize_host...
+    table = t2.append_raw(t2.make_table2(2048, 256, NL), lanes, allt)
+    got_lanes, got_counts = t2.finalize_host(table, k)
+    want = dict(golden.count_reads(reads, k, False))
+    assert len(got_counts) == len(want)
+    # ...and an undersized prefix is a hard error, not silent truncation.
+    table = t2.append_raw(t2.make_table2(8, 256, NL), lanes, allt)
+    with pytest.raises(RuntimeError, match="truncated"):
+        t2.finalize_host(table, k)
+
+
+def test_raw_append_fits(rng):
+    k = 15
+    NL = records.active_lanes(k)
+    reads = random_reads(rng, 8, 30)
+    lanes, allt = extract_chunk_keys(jnp.asarray(reads), k, False)
+    width = lanes.shape[1]
+    table = t2.make_table2(64, width + width // 2, NL)
+    assert t2.raw_append_fits(table, width)
+    table = t2.append_raw(table, lanes, allt)
+    assert not t2.raw_append_fits(table, width)
+
+
+def test_fill_from_right():
+    flags = jnp.asarray([False, True, False, False, True, False])
+    vals = jnp.asarray([10, 20, 30, 40, 50, 60], jnp.uint32)
+    out = t2._fill_from_right(flags, vals, jnp.uint32(99))
+    assert np.asarray(out).tolist() == [20, 20, 50, 50, 50, 99]
 
 
 def test_extract_chunk_keys_sentinels(rng):
