@@ -147,7 +147,12 @@ def main():
     )
 
     proxy_reads = reads[:1024]  # fixed size: keeps vs_baseline comparable
-    proxy_tput = host_proxy_throughput(proxy_reads, k, canonical)
+    # best-of-3: the first NumPy pass can be 10-70x slow on a cold
+    # allocator/cache (observed in the round-1 driver run), which would
+    # inflate vs_baseline meaninglessly.
+    proxy_tput = max(
+        host_proxy_throughput(proxy_reads, k, canonical) for _ in range(3)
+    )
     print(f"[bench] host proxy {proxy_tput/1e6:.2f}M kmers/s", file=sys.stderr)
 
     print(

@@ -91,6 +91,15 @@ def plan_chunks(
     # a worst-case consolidation.
     if reads_per_chunk * P > table_slots // 2:
         table_slots = 2 * reads_per_chunk * P
+    # On TPU, round up to the Pallas tile so consolidation can take the
+    # single-pass merge kernel (ops.pallas_sort; sizes off the tile fall
+    # back to pure lax.sort).  CPU runs (tests) keep exact sizes.
+    from kmer_counter_tpu.ops.sortcount import tpu_backend
+
+    if tpu_backend():
+        from kmer_counter_tpu.ops.pallas_sort import TILE
+
+        table_slots = -(-table_slots // TILE) * TILE
     return reads_per_chunk, table_slots
 
 

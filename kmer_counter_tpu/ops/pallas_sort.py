@@ -1,0 +1,605 @@
+"""Multi-operand u32 sort in Pallas: Batcher odd-even networks on VMEM
+tiles + merge-path passes over HBM.
+
+Why not ``jax.lax.sort``: XLA's TPU sort moves ~230M records/s at table
+sizes (measured, docs/experiments_r2_timing.py) — ~150 GB/s effective
+against ~800 GB/s HBM — and it re-runs its full network regardless of
+input structure.  This sort is built from one primitive, the vectorized
+compare-exchange at flattened distance d (VPU ``pltpu.roll`` shifts +
+selects, no scatters/gathers), arranged as:
+
+  * **Leaf pass** (static blocks): Batcher odd-even *mergesort* of each
+    TILE-element block entirely in VMEM — 136 compare-exchange stages for
+    TILE=64K, all on (512,128) vregs.
+  * **Merge passes** (log2(N/TILE) of them): pairs of sorted runs merge
+    via *merge-path*: the output is cut into W-element tiles; an XLA-side
+    vectorized binary search (tiny — one (n_tiles,) gather per step) finds
+    each tile's run split; the kernel DMAs the two windows at dynamic
+    element offsets (PrefetchScalarGridSpec), aligns them with VPU rolls,
+    sentinel-masks dead slack, and runs a Batcher odd-even *merge*
+    (log2(2W)+1 = 18 stages) in VMEM.  One read + one write of the data
+    per pass — the HBM-optimal merge schedule.
+
+The comparator is lexicographic over the first ``num_keys`` operands
+(unsigned, lane 0 most significant — the record key order of
+ops.sortcount); remaining operands ride as payload.  Ties keep both
+elements in place (each side "keeps self" unless strictly ordered), so
+equal-key payloads are never duplicated or lost; like ``jax.lax.sort``
+with ``is_stable=False``, the order *among* equal keys is unspecified.
+
+This replaces the reference's Thrust device sort (GPUHandler.cu:300-327,
+its dormant sortKmers path) — same role, TPU-native network.
+
+Design constraints honored (docs/experiments_mosaic_caps.py): 32-bit
+compute only, no ``rev``/``minui`` (compare+select), ``pltpu.roll``
+on both axes, tile-preserving shapes, dynamic-offset DMA from HBM with
+scalar prefetch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# np scalar, not jnp: a jnp scalar is a committed device array, which a
+# Pallas kernel closure may not capture ("captures constants" trace error).
+SENTINEL = np.uint32(0xFFFFFFFF)
+
+# Elements per leaf tile / merge output tile.  512 rows x 128 lanes.
+TILE = 65536
+_LANES = 128
+
+
+def _rows(n: int) -> int:
+    assert n % _LANES == 0
+    return n // _LANES
+
+
+def _flat_iota(shape):
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    l = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return r * _LANES + l
+
+
+def _partner_down(v, d: int):
+    """partner[i] = v[i + d] on the flattened (rows, 128) index (circular
+    garbage at the tail — callers' pair masks never select it)."""
+    rows = v.shape[0]
+    r, dl = divmod(d, _LANES)
+    if dl == 0:
+        return pltpu.roll(v, rows - r, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    u = pltpu.roll(v, _LANES - dl, 1)
+    u_next = pltpu.roll(u, rows - r - 1, 0)
+    if r:
+        u = pltpu.roll(u, rows - r, 0)
+    return jnp.where(lane < _LANES - dl, u, u_next)
+
+
+def _partner_up(v, d: int):
+    """partner[i] = v[i - d] (circular garbage at the head)."""
+    rows = v.shape[0]
+    r, dl = divmod(d, _LANES)
+    if dl == 0:
+        return pltpu.roll(v, r, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    u = pltpu.roll(v, dl, 1)
+    u_prev = pltpu.roll(u, r + 1, 0)
+    if r:
+        u = pltpu.roll(u, r, 0)
+    return jnp.where(lane >= dl, u, u_prev)
+
+
+def _ce(ops: list, num_keys: int, d: int, lower, upper):
+    """Vectorized compare-exchange at flattened distance d over multiple
+    operands.  ``lower``/``upper`` mark the lower/upper element of each
+    pair (disjoint; everything else passes through).  Ascending; ties
+    keep self on both sides, so payloads move iff keys strictly order."""
+    downs = [_partner_down(v, d) for v in ops]
+    ups = [_partner_up(v, d) for v in ops]
+    partners = [
+        jnp.where(lower, dn, jnp.where(upper, up, v))
+        for v, dn, up in zip(ops, downs, ups)
+    ]
+    # Lexicographic strict compares folded from the least significant key.
+    # Boolean algebra only: a where() whose *values* are bools crashes the
+    # Mosaic compiler (docs/experiments_mosaic_caps.py).
+    lt = jnp.zeros(ops[0].shape, dtype=jnp.bool_)
+    gt = jnp.zeros(ops[0].shape, dtype=jnp.bool_)
+    for i in reversed(range(num_keys)):
+        eq = ops[i] == partners[i]
+        lt = (eq & lt) | (~eq & (ops[i] < partners[i]))
+        gt = (eq & gt) | (~eq & (ops[i] > partners[i]))
+    # Ties keep self on both sides (payloads never duplicated/lost).
+    take_partner = (lower & gt) | (upper & lt)
+    return [jnp.where(take_partner, p, v) for v, p in zip(ops, partners)]
+
+
+def _odd_even_merge_stages(ops: list, num_keys: int, half: int, i):
+    """Batcher odd-even merge of adjacent sorted ``half``-element runs
+    within blocks of ``2*half`` (applied blockwise across the whole
+    (rows,128) buffer — the buffer length is always a multiple of
+    ``2*half``).  ``half`` is a power of two; ``i`` is the flat iota."""
+    block = 2 * half
+    j = i & (block - 1)  # block-local index (block is a power of two)
+    # stage 1: pairs (j, j + half) for j < half — always within the block
+    lower = (j & half) == 0
+    ops = _ce(ops, num_keys, half, lower, ~lower)
+    d = half // 2
+    while d >= 1:
+        # Batcher: CE(j, j+d) for j in [d, block-d) with the d bit set;
+        # the matching upper side has the d bit clear and j >= d.
+        lower = ((j & d) == d) & (j + d < block)
+        upper = ((j & d) == 0) & (j >= d)
+        ops = _ce(ops, num_keys, d, lower, upper)
+        d //= 2
+    return ops
+
+
+def _leaf_sort_body(ops: list, num_keys: int, tile: int):
+    """Odd-even mergesort of every tile-element block of the buffer."""
+    i = _flat_iota(ops[0].shape)
+    half = 1
+    while half < tile:
+        ops = _odd_even_merge_stages(ops, num_keys, half, i)
+        half *= 2
+    return ops
+
+
+# ---------------------------------------------------------------------------
+# Leaf pass: sort every TILE-element block in VMEM (static grid blocks).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_keys", "tile", "interpret")
+)
+def leaf_sort(operands, num_keys: int, tile: int = TILE, interpret: bool = False):
+    """Sort each tile-element block of 1D u32 arrays (length multiple of
+    tile) independently, lexicographically over the first num_keys."""
+    n_ops = len(operands)
+    n = operands[0].shape[0]
+    assert n % tile == 0, (n, tile)
+    tr = _rows(tile)
+
+    def kernel(*refs):
+        ins, outs = refs[:n_ops], refs[n_ops:]
+        ops = [r[:] for r in ins]
+        ops = _leaf_sort_body(ops, num_keys, tile)
+        for o_ref, v in zip(outs, ops):
+            o_ref[:] = v
+
+    grid = (n // tile,)
+    spec = pl.BlockSpec((tr, _LANES), lambda t: (t, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec] * n_ops,
+        out_specs=[spec] * n_ops,
+        out_shape=[
+            jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.uint32)
+            for _ in range(n_ops)
+        ],
+        interpret=interpret,
+    )(*[v.reshape(n // _LANES, _LANES) for v in operands])
+    return tuple(v.reshape(n) for v in out)
+
+
+# ---------------------------------------------------------------------------
+# Merge pass: merge adjacent sorted runs of length L into 2L runs.
+# ---------------------------------------------------------------------------
+
+
+def _lex_le_gathered(a_ops, b_ops, num_keys):
+    """Lexicographic a <= b over gathered key vectors."""
+    lt = jnp.zeros(a_ops[0].shape, dtype=jnp.bool_)
+    gt = jnp.zeros(a_ops[0].shape, dtype=jnp.bool_)
+    for i in reversed(range(num_keys)):
+        eq = a_ops[i] == b_ops[i]
+        lt = jnp.where(eq, lt, a_ops[i] < b_ops[i])
+        gt = jnp.where(eq, gt, a_ops[i] > b_ops[i])
+    return ~gt
+
+
+def _diag_splits(operands, num_keys: int, run: int, w: int, n: int):
+    """Merge-path splits: for each W-element output tile, the absolute
+    element ranges consumed from its pair's A and B runs.
+
+    Pure XLA, vectorized over tiles; the only data access is one
+    (n_tiles,)-sized gather per binary-search step — micro-scale compared
+    to the pass itself.  Ties split toward A (A's equal keys are consumed
+    first), making the windows deterministic.
+
+    Returns int32 arrays (a_start, a_end, b_start, b_end), absolute.
+    """
+    n_tiles = n // w
+    t = jnp.arange(n_tiles, dtype=jnp.int32)
+    pair = (t * w) // (2 * run)
+    d0 = t * w - pair * (2 * run)  # output offset within the pair
+    a_base = pair * (2 * run)
+    b_base = jnp.minimum(a_base + run, n)
+    len_a = jnp.clip(n - a_base, 0, run)
+    len_b = jnp.clip(n - b_base, 0, run)
+
+    lo = jnp.maximum(0, d0 - len_b)
+    hi = jnp.minimum(d0, len_a)
+
+    def gather_keys(base, idx):
+        flat = base + idx
+        return [jnp.take(operands[i], flat, mode="clip") for i in range(num_keys)]
+
+    steps = max(1, int(np.ceil(np.log2(max(run, 2)))) + 1)
+    for _ in range(steps):
+        mid = (lo + hi + 1) // 2
+        # split "a = mid" valid iff A[mid-1] <= B[d0-mid]  (ties -> A first)
+        ak = gather_keys(a_base, jnp.maximum(mid - 1, 0))
+        bk = gather_keys(b_base, jnp.minimum(d0 - mid, jnp.maximum(len_b - 1, 0)))
+        a_le_b = _lex_le_gathered(ak, bk, num_keys)
+        ok = (mid <= lo) | (d0 - mid >= len_b) | a_le_b
+        # mid == 0 is always valid; d0-mid beyond B means B exhausted.
+        ok = ok & (mid >= lo)
+        lo = jnp.where(ok, mid, lo)
+        hi = jnp.where(ok, hi, mid - 1)
+
+    a_split = lo
+    # Absolute consumed ranges for this tile: [a_start, a_end) x [b_start,
+    # b_end) where the ends are the NEXT tile's splits (computed from the
+    # same formula shifted, i.e. just roll the arrays).
+    a_start = a_base + a_split
+    b_start = b_base + (d0 - a_split)
+    last_pair = (n_tiles * w - 1) // (2 * run)
+    a_end = jnp.concatenate([a_start[1:], jnp.zeros((1,), jnp.int32)])
+    b_end = jnp.concatenate([b_start[1:], jnp.zeros((1,), jnp.int32)])
+    # Tiles that end their pair (or the array): consume to the run ends.
+    next_pair = jnp.concatenate([pair[1:], pair[-1:] + 1])
+    pair_ends = next_pair != pair
+    a_end = jnp.where(pair_ends, a_base + len_a, a_end)
+    b_end = jnp.where(pair_ends, b_base + len_b, b_end)
+    return a_start, a_end, b_start, b_end
+
+
+# Window DMA slack: windows are row-aligned (<=127-element misalignment
+# absorbed by an in-VMEM roll), read one extra row, and the buffer rows are
+# padded to a multiple of 8 sublanes.
+_WIN_EXTRA_ROWS = 8
+
+
+def _merge_pass(
+    operands, num_keys: int, run: int, w: int, n: int, interpret: bool = False
+):
+    """One merge-path pass: adjacent sorted ``run``-element runs of n-element
+    operands (n multiple of w, run multiple of w) merge into ``2*run`` runs.
+
+    Operands must carry ``>= w + _WIN_EXTRA_ROWS*128`` elements of DMA pad
+    past n (content irrelevant — windows are masked to their live ranges).
+    Dead window slack becomes (SENTINEL keys, 0 payloads); see module
+    docstring for the equal-max-key payload caveat.
+    """
+    n_ops = len(operands)
+    n_pad = operands[0].shape[0]
+
+    a_start, a_end, b_start, b_end = _diag_splits(
+        tuple(v[:n] for v in operands), num_keys, run, w, n
+    )
+    wr = _rows(w)
+    buf_rows = wr + _WIN_EXTRA_ROWS
+    n_tiles = n // w
+
+    def kernel(*refs):
+        # refs: [4 prefetch scalars] + [n_ops hbm inputs] + [n_ops outputs]
+        #       + [2*n_ops window scratch] + [2*n_ops DMA semaphores]
+        astart_r, aend_r, bstart_r, bend_r = refs[:4]
+        ins = refs[4 : 4 + n_ops]
+        outs = refs[4 + n_ops : 4 + 2 * n_ops]
+        bufs = refs[4 + 2 * n_ops : 4 + 4 * n_ops]
+        sems = refs[4 + 4 * n_ops]
+        t = pl.program_id(0)
+        a_s, a_e = astart_r[t], aend_r[t]
+        b_s, b_e = bstart_r[t], bend_r[t]
+        a_row = a_s // _LANES
+        b_row = b_s // _LANES
+
+        copies = []
+        for i in range(n_ops):
+            copies.append(
+                pltpu.make_async_copy(
+                    ins[i].at[pl.ds(a_row, wr + 1), :],
+                    bufs[2 * i].at[pl.ds(0, wr + 1), :],
+                    sems.at[2 * i],
+                )
+            )
+            copies.append(
+                pltpu.make_async_copy(
+                    ins[i].at[pl.ds(b_row, wr + 1), :],
+                    bufs[2 * i + 1].at[pl.ds(0, wr + 1), :],
+                    sems.at[2 * i + 1],
+                )
+            )
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+        ea = a_s - a_row * _LANES
+        eb = b_s - b_row * _LANES
+        la = a_e - a_s
+        lb = b_e - b_s
+        i2 = _flat_iota((wr, _LANES))
+
+        def window(buf, shift, live):
+            v = _dyn_shift_down(buf[:], shift)[:wr]
+            return v, i2 < live
+
+        merged = []
+        for i in range(n_ops):
+            av, alive = window(bufs[2 * i], ea, la)
+            bv, blive = window(bufs[2 * i + 1], eb, lb)
+            if i < num_keys:
+                av = jnp.where(alive, av, SENTINEL)
+                bv = jnp.where(blive, bv, SENTINEL)
+            else:
+                av = jnp.where(alive, av, jnp.uint32(0))
+                bv = jnp.where(blive, bv, jnp.uint32(0))
+            merged.append(jnp.concatenate([av, bv], axis=0))
+
+        i_m = _flat_iota(merged[0].shape)
+        merged = _odd_even_merge_stages(merged, num_keys, w, i_m)
+        for o_ref, v in zip(outs, merged):
+            o_ref[:] = v[:wr]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_ops,
+        out_specs=[
+            pl.BlockSpec(
+                (wr, _LANES), lambda t, *_refs: (t, 0), memory_space=pltpu.VMEM
+            )
+        ]
+        * n_ops,
+        scratch_shapes=[pltpu.VMEM((buf_rows, _LANES), jnp.uint32)] * (2 * n_ops)
+        + [pltpu.SemaphoreType.DMA((2 * n_ops,))],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.uint32)
+            for _ in range(n_ops)
+        ],
+        interpret=interpret,
+    )(
+        a_start,
+        a_end,
+        b_start,
+        b_end,
+        *[v.reshape(n_pad // _LANES, _LANES) for v in operands],
+    )
+    # Re-attach the DMA pad for the next pass (values never read live).
+    pad = n_pad - n
+    return tuple(
+        jnp.concatenate([v.reshape(n), jnp.zeros((pad,), jnp.uint32)])
+        for v in out
+    )
+
+
+def _dyn_shift_down(v, shift):
+    """v shifted down by a *traced* 0..127 element offset on the flattened
+    (rows,128) index: out[i] = v[i + shift] (garbage at the tail)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    rows = v.shape[0]
+    # lane part: roll by (128 - shift) % 128; row carry for wrapped lanes.
+    u = pltpu.roll(v, (_LANES - shift) % _LANES, 1)
+    u_next = pltpu.roll(u, rows - 1, 0)
+    return jnp.where(lane < _LANES - shift, u, u_next)
+
+
+def sort_ops(
+    operands: Sequence[jnp.ndarray],
+    num_keys: int,
+    tile: int = TILE,
+    interpret: bool = False,
+) -> tuple:
+    """Full sort: drop-in for ``jax.lax.sort(operands, dimension=0,
+    num_keys=num_keys)`` on 1D u32 arrays whose length is a multiple of
+    ``tile``.  Equal-key payload order is unspecified (like is_stable=False);
+    see the module docstring for the max-key payload caveat.
+    """
+    operands = [v.astype(jnp.uint32) for v in operands]
+    n = operands[0].shape[0]
+    if n % tile != 0:
+        raise ValueError(f"sort_ops requires len % {tile} == 0, got {n}")
+    ops = leaf_sort(operands, num_keys, tile, interpret)
+    if n == tile:
+        return tuple(ops)
+    pad = _rows_pad_elements(tile)
+    ops = tuple(
+        jnp.concatenate([v, jnp.zeros((pad,), jnp.uint32)]) for v in ops
+    )
+    run = tile
+    while run < n:
+        ops = _merge_pass(ops, num_keys, run, tile, n, interpret)
+        run *= 2
+    return tuple(v[:n] for v in ops)
+
+
+def _rows_pad_elements(w: int) -> int:
+    """DMA overread pad past the live region: one window + slack rows."""
+    return w + _WIN_EXTRA_ROWS * _LANES
+
+
+def _diag_splits_pair(a_keys, b_keys, num_keys: int, na: int, nb: int, w: int):
+    """Merge-path splits for ONE pair of sorted runs A (na elements) and
+    B (nb), arbitrary static lengths, output cut into (na+nb)/w tiles.
+    Returns absolute (a_start, a_end, b_start, b_end) int32 arrays, where
+    b offsets are positions within B (0-based)."""
+    n = na + nb
+    n_tiles = n // w
+    t = jnp.arange(n_tiles, dtype=jnp.int32)
+    d0 = t * w
+    lo = jnp.maximum(0, d0 - nb)
+    hi = jnp.minimum(d0, na)
+
+    def gather(ops_, idx):
+        return [jnp.take(ops_[i], idx, mode="clip") for i in range(num_keys)]
+
+    steps = max(1, int(np.ceil(np.log2(max(na, 2)))) + 1)
+    for _ in range(steps):
+        mid = (lo + hi + 1) // 2
+        ak = gather(a_keys, jnp.maximum(mid - 1, 0))
+        bk = gather(b_keys, jnp.clip(d0 - mid, 0, max(nb - 1, 0)))
+        ok = (mid <= lo) | (d0 - mid >= nb) | _lex_le_gathered(ak, bk, num_keys)
+        lo = jnp.where(ok, mid, lo)
+        hi = jnp.where(ok, hi, mid - 1)
+
+    a_start = lo
+    b_start = d0 - lo
+    a_end = jnp.concatenate([a_start[1:], jnp.asarray([na], jnp.int32)])
+    b_end = jnp.concatenate([b_start[1:], jnp.asarray([nb], jnp.int32)])
+    return a_start, a_end, b_start, b_end
+
+
+def merge_sorted_runs(
+    a_ops: Sequence[jnp.ndarray],
+    b_ops: Sequence[jnp.ndarray],
+    num_keys: int,
+    tile: int = TILE,
+    interpret: bool = False,
+) -> tuple:
+    """Merge two individually sorted operand sets into one sorted set of
+    length ``len(a)+len(b)`` — ONE merge-path pass (18 compare-exchange
+    stages) instead of a full O(log^2) re-sort.
+
+    This is the consolidation workhorse: ops.table2 merges the sorted
+    deduped prefix with the freshly sorted raw region here, ~14x cheaper
+    than the 3-operand lax.sort it replaces (118ms -> measured
+    single-pass cost, docs/experiments_psort_tpu.py).
+
+    Requirements: ``(len(a)+len(b)) % TILE == 0`` (the engine sizes both
+    regions to tile multiples); all operands u32; both sets sorted
+    ascending by their first num_keys operands.  Dead window slack is
+    (SENTINEL keys, 0 payloads) — same equal-max-key payload caveat as
+    sort_ops.
+    """
+    a_ops = [v.astype(jnp.uint32) for v in a_ops]
+    b_ops = [v.astype(jnp.uint32) for v in b_ops]
+    na, nb = a_ops[0].shape[0], b_ops[0].shape[0]
+    n = na + nb
+    if n % tile != 0:
+        raise ValueError(f"merge_sorted_runs requires (na+nb) % {tile} == 0")
+    a_start, a_end, b_start, b_end = _diag_splits_pair(
+        a_ops[:num_keys], b_ops[:num_keys], num_keys, na, nb, tile
+    )
+    pad = _rows_pad_elements(tile)
+    a_pad = [jnp.concatenate([v, jnp.zeros((pad,), jnp.uint32)]) for v in a_ops]
+    b_pad = [jnp.concatenate([v, jnp.zeros((pad,), jnp.uint32)]) for v in b_ops]
+    return _merge_pair_call(
+        a_pad, b_pad, num_keys, n, a_start, a_end, b_start, b_end, tile, interpret
+    )
+
+
+def _merge_pair_call(
+    a_pad, b_pad, num_keys, n, a_start, a_end, b_start, b_end, w, interpret
+):
+    """Shared kernel body for one merge-path pass over two separate
+    operand arrays (A and B live in distinct HBM buffers)."""
+    n_ops = len(a_pad)
+    wr = _rows(w)
+    buf_rows = wr + _WIN_EXTRA_ROWS
+    n_tiles = n // w
+    na_rows = a_pad[0].shape[0] // _LANES
+    nb_rows = b_pad[0].shape[0] // _LANES
+
+    def kernel(*refs):
+        astart_r, aend_r, bstart_r, bend_r = refs[:4]
+        a_ins = refs[4 : 4 + n_ops]
+        b_ins = refs[4 + n_ops : 4 + 2 * n_ops]
+        outs = refs[4 + 2 * n_ops : 4 + 3 * n_ops]
+        bufs = refs[4 + 3 * n_ops : 4 + 5 * n_ops]
+        sems = refs[4 + 5 * n_ops]
+        t = pl.program_id(0)
+        a_s, a_e = astart_r[t], aend_r[t]
+        b_s, b_e = bstart_r[t], bend_r[t]
+        a_row = a_s // _LANES
+        b_row = b_s // _LANES
+
+        copies = []
+        for i in range(n_ops):
+            copies.append(
+                pltpu.make_async_copy(
+                    a_ins[i].at[pl.ds(a_row, wr + 1), :],
+                    bufs[2 * i].at[pl.ds(0, wr + 1), :],
+                    sems.at[2 * i],
+                )
+            )
+            copies.append(
+                pltpu.make_async_copy(
+                    b_ins[i].at[pl.ds(b_row, wr + 1), :],
+                    bufs[2 * i + 1].at[pl.ds(0, wr + 1), :],
+                    sems.at[2 * i + 1],
+                )
+            )
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+        ea = a_s - a_row * _LANES
+        eb = b_s - b_row * _LANES
+        la = a_e - a_s
+        lb = b_e - b_s
+        i2 = _flat_iota((wr, _LANES))
+
+        merged = []
+        for i in range(n_ops):
+            av = _dyn_shift_down(bufs[2 * i][:], ea)[:wr]
+            bv = _dyn_shift_down(bufs[2 * i + 1][:], eb)[:wr]
+            if i < num_keys:
+                av = jnp.where(i2 < la, av, SENTINEL)
+                bv = jnp.where(i2 < lb, bv, SENTINEL)
+            else:
+                av = jnp.where(i2 < la, av, jnp.uint32(0))
+                bv = jnp.where(i2 < lb, bv, jnp.uint32(0))
+            merged.append(jnp.concatenate([av, bv], axis=0))
+
+        i_m = _flat_iota(merged[0].shape)
+        merged = _odd_even_merge_stages(merged, num_keys, w, i_m)
+        for o_ref, v in zip(outs, merged):
+            o_ref[:] = v[:wr]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 * n_ops),
+        out_specs=[
+            pl.BlockSpec(
+                (wr, _LANES), lambda t, *_refs: (t, 0), memory_space=pltpu.VMEM
+            )
+        ]
+        * n_ops,
+        scratch_shapes=[pltpu.VMEM((buf_rows, _LANES), jnp.uint32)] * (2 * n_ops)
+        + [pltpu.SemaphoreType.DMA((2 * n_ops,))],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.uint32)
+            for _ in range(n_ops)
+        ],
+        interpret=interpret,
+    )(
+        a_start,
+        a_end,
+        b_start,
+        b_end,
+        *[v.reshape(na_rows, _LANES) for v in a_pad],
+        *[v.reshape(nb_rows, _LANES) for v in b_pad],
+    )
+    return tuple(v.reshape(n) for v in out)

@@ -45,8 +45,43 @@ at the uint32 maximum instead.
 
 from __future__ import annotations
 
+import functools
+import os
+
 import jax
 import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=1)
+def tpu_backend() -> bool:
+    """True on real TPU backends (tests force JAX_PLATFORMS=cpu)."""
+    try:
+        return jax.devices()[0].platform.lower() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def device_sort(operands, num_keys: int):
+    """``jax.lax.sort``, or the Pallas odd-even network sort
+    (ops.pallas_sort) when KMER_TPU_PALLAS_SORT=1 opts in on TPU.
+
+    Measured (docs/experiments_psort_tpu.py, 18.4M rows): the full network
+    sort is 0.75-1.0x lax.sort — both are VMEM/HBM-bandwidth-bound and the
+    network pays O(log^2) compare-exchange passes — so XLA stays the
+    default for *full* sorts.  The Pallas win is
+    ``pallas_sort.merge_sorted_runs``: consolidation merges two
+    already-sorted runs in ONE 18-stage pass (~14x the lax.sort a full
+    re-sort would pay); ops.table2 wires that in directly.
+    """
+    n = operands[0].shape[0]
+    if os.environ.get("KMER_TPU_PALLAS_SORT", "0") == "1" and tpu_backend():
+        from kmer_counter_tpu.ops import pallas_sort
+
+        if n % pallas_sort.TILE == 0:
+            return pallas_sort.sort_ops(
+                [v.astype(jnp.uint32) for v in operands], num_keys
+            )
+    return jax.lax.sort(tuple(operands), dimension=0, num_keys=num_keys)
 
 
 def sort_reduce(
@@ -73,7 +108,7 @@ def sort_reduce(
     eff = jnp.where(valid[None, :], lanes, sentinel)
 
     operands = (*(eff[i] for i in range(NL)), counts)
-    sorted_ops = jax.lax.sort(operands, dimension=0, num_keys=NL)
+    sorted_ops = device_sort(operands, num_keys=NL)
     s_lanes = jnp.stack(sorted_ops[:NL], axis=0)
     s_counts = sorted_ops[NL]
 
@@ -90,9 +125,9 @@ def sort_reduce(
 
     # (3) compaction by sort: boundary slots get their (unique, ascending)
     # segment id as key, everything else key N.
-    comp_key = jnp.where(boundary, seg, N)
+    comp_key = jnp.where(boundary, seg, N).astype(jnp.uint32)  # values <= N < 2^31
     comp_ops = (comp_key, *(s_lanes[i] for i in range(NL)), starts)
-    comp = jax.lax.sort(comp_ops, dimension=0, num_keys=1)
+    comp = device_sort(comp_ops, num_keys=1)
     u_lanes = jnp.stack(comp[1 : NL + 1], axis=0)
     u_starts = comp[NL + 1]
 

@@ -44,7 +44,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from kmer_counter_tpu.ops.sortcount import sort_reduce
+from kmer_counter_tpu.ops.sortcount import device_sort, sort_reduce
 
 SENTINEL = jnp.uint32(0xFFFFFFFF)
 
@@ -154,9 +154,7 @@ def _reduce_raw(raw_lanes: jnp.ndarray, raw_off) -> tuple[jnp.ndarray, jnp.ndarr
     idx = jnp.arange(CR, dtype=jnp.int32)
     live = idx < raw_off
     eff = jnp.where(live[None, :], raw_lanes, SENTINEL)
-    sorted_ops = jax.lax.sort(
-        tuple(eff[i] for i in range(NL)), dimension=0, num_keys=NL
-    )
+    sorted_ops = device_sort(tuple(eff[i] for i in range(NL)), num_keys=NL)
     s = jnp.stack(sorted_ops, axis=0)
     is_sent = jnp.all(s == SENTINEL, axis=0)
     prev_differs = jnp.any(s[:, 1:] != s[:, :-1], axis=0)
@@ -181,10 +179,8 @@ def consolidate2(table: TwoLevelTable):
     r_lanes, r_counts = _reduce_raw(table.raw_lanes, table.raw_off)
     lanes_cat = jnp.concatenate([p_lanes, r_lanes], axis=1)
     counts_cat = jnp.concatenate([p_counts, r_counts])
-    merged = jax.lax.sort(
-        (*(lanes_cat[i] for i in range(NL)), counts_cat),
-        dimension=0,
-        num_keys=NL,
+    merged = device_sort(
+        (*(lanes_cat[i] for i in range(NL)), counts_cat), num_keys=NL
     )
     m_lanes = jnp.stack(merged[:NL], axis=0)
     m_counts = merged[NL]

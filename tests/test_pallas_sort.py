@@ -1,0 +1,127 @@
+"""ops.pallas_sort: the odd-even network sort vs jax.lax.sort.
+
+The kernels run in Pallas interpret mode on the CPU mesh (slow — sizes
+stay small; the real-chip validation and perf numbers live in
+docs/experiments_psort_tpu.py).  The XLA-side merge-path diagonal search
+is tested directly at larger sizes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kmer_counter_tpu.ops import pallas_sort as ps
+
+TILE = 1024  # small tile for interpret-mode runs
+
+
+def _rand_ops(rng, n, n_ops, vmax=2**32):
+    return [
+        jnp.asarray(rng.integers(0, vmax, n, np.uint64).astype(np.uint32))
+        for _ in range(n_ops)
+    ]
+
+
+def _payload_multiset_equal(got, want, num_keys, n_payload):
+    """Keys equal exactly; payload rows equal as a multiset of
+    (key, payload) records (equal-key payload order is unspecified)."""
+    n_ops = num_keys + n_payload
+    a = np.stack([np.asarray(got[i]) for i in range(n_ops)], 1)
+    b = np.stack([np.asarray(want[i]) for i in range(n_ops)], 1)
+    return np.array_equal(
+        a[np.lexsort(a.T[::-1])], b[np.lexsort(b.T[::-1])]
+    )
+
+
+def check(rng, n, num_keys, n_payload, vmax=2**32, data=None):
+    ops = data if data is not None else _rand_ops(rng, n, num_keys + n_payload, vmax)
+    got = ps.sort_ops(ops, num_keys, tile=TILE, interpret=True)
+    want = jax.lax.sort(tuple(ops), dimension=0, num_keys=num_keys)
+    for i in range(num_keys):
+        assert np.array_equal(np.asarray(got[i]), np.asarray(want[i]))
+    if n_payload:
+        assert _payload_multiset_equal(got, want, num_keys, n_payload)
+
+
+def test_leaf_only_single_key(rng):
+    check(rng, TILE, 1, 0)
+
+
+def test_leaf_only_two_keys_payload(rng):
+    check(rng, TILE, 2, 1)
+
+
+def test_two_tiles_one_merge_pass(rng):
+    check(rng, 2 * TILE, 2, 1)
+
+
+def test_four_tiles_heavy_dups(rng):
+    check(rng, 4 * TILE, 1, 1, vmax=8)
+
+
+def test_odd_tile_count_copy_through(rng):
+    # 3 runs: the unpaired tail run must pass through each pass unchanged.
+    check(rng, 3 * TILE, 1, 1)
+
+
+def test_presorted_and_reversed(rng):
+    s = np.sort(rng.integers(0, 2**32, 2 * TILE, np.uint64).astype(np.uint32))
+    check(rng, 2 * TILE, 1, 0, data=[jnp.asarray(s)])
+    check(rng, 2 * TILE, 1, 0, data=[jnp.asarray(s[::-1].copy())])
+
+
+def test_sentinel_blocks_sort_to_end(rng):
+    # count-0 sentinel rows (the sort_reduce encoding) must coalesce at the
+    # end without disturbing genuine keys.
+    keys = rng.integers(0, 2**20, 2 * TILE, np.uint64).astype(np.uint32)
+    keys[rng.random(2 * TILE) < 0.3] = 0xFFFFFFFF
+    counts = (keys != 0xFFFFFFFF).astype(np.uint32)
+    got = ps.sort_ops(
+        [jnp.asarray(keys), jnp.asarray(counts)], 1, tile=TILE, interpret=True
+    )
+    want = jax.lax.sort(
+        (jnp.asarray(keys), jnp.asarray(counts)), dimension=0, num_keys=1
+    )
+    assert np.array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    n_sent = int((keys == 0xFFFFFFFF).sum())
+    assert np.all(np.asarray(got[1])[-n_sent:] == 0)
+
+
+def test_length_not_tile_multiple_raises(rng):
+    with pytest.raises(ValueError, match="sort_ops requires"):
+        ps.sort_ops(_rand_ops(rng, TILE + 128, 1), 1, tile=TILE, interpret=True)
+
+
+def test_diag_splits_partition(rng):
+    # XLA-side merge-path search: consumptions partition both runs, each
+    # tile consumes exactly W elements, and outputs are range-disjoint.
+    n, w, run = 64 * 1024, 1024, 8 * 1024
+    keys = np.sort(
+        rng.integers(0, 2**32, n, np.uint64).astype(np.uint32).reshape(-1, run),
+        axis=1,
+    ).reshape(-1)
+    a_s, a_e, b_s, b_e = jax.jit(
+        lambda k: ps._diag_splits((k,), 1, run, w, n)
+    )(jnp.asarray(keys))
+    a_s, a_e, b_s, b_e = map(np.asarray, (a_s, a_e, b_s, b_e))
+    assert np.all(a_e - a_s + (b_e - b_s) == w)
+    assert np.all(a_e - a_s >= 0) and np.all(b_e - b_s >= 0)
+    # per-pair coverage: consumed A/B ranges tile the runs exactly
+    tiles_per_pair = 2 * run // w
+    for q in range(n // (2 * run)):
+        t0, t1 = q * tiles_per_pair, (q + 1) * tiles_per_pair
+        assert a_s[t0] == q * 2 * run and a_e[t1 - 1] == q * 2 * run + run
+        assert b_s[t0] == q * 2 * run + run and b_e[t1 - 1] == (q + 1) * 2 * run
+        assert np.array_equal(a_s[t0 + 1 : t1], a_e[t0 : t1 - 1])
+        assert np.array_equal(b_s[t0 + 1 : t1], b_e[t0 : t1 - 1])
+    # merging each tile's consumed ranges reproduces the pair's sorted order
+    merged = []
+    for t in range(n // w):
+        seg = np.concatenate([keys[a_s[t] : a_e[t]], keys[b_s[t] : b_e[t]]])
+        merged.append(np.sort(seg))
+    got = np.concatenate(merged)
+    want = np.sort(
+        keys.reshape(-1, 2 * run), axis=1
+    ).reshape(-1)
+    assert np.array_equal(got, want)
