@@ -95,33 +95,60 @@ def main():
         file=sys.stderr,
     )
 
-    table = jax.device_put(
-        table_ops.make_table(capacity, active_lanes(k)), device
-    )
     dev_reads = jax.device_put(jnp.asarray(reads), device)
     n_scalar = jnp.int32(kmers_per_chunk)
 
     from kmer_counter_tpu.ops import extract_chunk
 
-    def drain(table):
-        # Force full completion: fetch a scalar that depends on the whole
-        # chain.  (block_until_ready alone can return early through the
-        # remote-tunnel backend, giving wildly optimistic timings.)
-        return int(jax.device_get(table.offset))
-
     state = {"bound": 0, "consolidations": 0}
+    mode = os.environ.get("BENCH_TABLE", "two")
 
-    def step(table):
-        # The engine's steady-state loop: consolidate when the next raw
-        # append would overflow, then extract + append (no per-chunk sort).
-        if state["bound"] + kmers_per_chunk > capacity:
-            table = table_ops.consolidate(table)
-            state["bound"] = drain(table)
-            state["consolidations"] += 1
-        lanes, counts = extract_chunk(dev_reads, k, canonical)
-        table = table_ops.append(table, lanes, counts, n_scalar)
-        state["bound"] += kmers_per_chunk
-        return table
+    if mode == "two":
+        # Two-level table + Pallas-merge consolidation (ops.table2
+        # consolidate3): keys-only raw appends, one merge-path pass +
+        # stream compaction per consolidation.
+        from kmer_counter_tpu.ops import table2 as t2
+        from kmer_counter_tpu.ops.pipeline import extract_chunk_keys
+
+        cp = kmers_per_chunk  # prefix: all distinct keys must fit
+        cr = capacity - cp
+        table = jax.device_put(t2.make_table2(cp, cr, active_lanes(k)), device)
+
+        def drain(table):
+            return int(jax.device_get(table.raw_off))
+
+        def step(table):
+            if state["bound"] + kmers_per_chunk > cr:
+                table, live, lost = t2.consolidate3(table)
+                state["bound"] = 0
+                state["consolidations"] += 1
+            lanes, allt = extract_chunk_keys(dev_reads, k, canonical)
+            table = t2.append_raw_at(table, lanes, allt, state["bound"])
+            state["bound"] += kmers_per_chunk
+            return table
+
+    else:
+        table = jax.device_put(
+            table_ops.make_table(capacity, active_lanes(k)), device
+        )
+
+        def drain(table):
+            # Force full completion: fetch a scalar that depends on the
+            # whole chain.  (block_until_ready alone can return early
+            # through the remote-tunnel backend.)
+            return int(jax.device_get(table.offset))
+
+        def step(table):
+            # consolidate when the next raw append would overflow, then
+            # extract + append (no per-chunk sort).
+            if state["bound"] + kmers_per_chunk > capacity:
+                table = table_ops.consolidate(table)
+                state["bound"] = drain(table)
+                state["consolidations"] += 1
+            lanes, counts = extract_chunk(dev_reads, k, canonical)
+            table = table_ops.append(table, lanes, counts, n_scalar)
+            state["bound"] += kmers_per_chunk
+            return table
 
     # Warmup / compile (extract, append, consolidate all compiled here).
     t0 = time.perf_counter()

@@ -62,6 +62,10 @@ class Options:
     checkpoint_dir: str | None = None
     profile: bool = False
     verbose: int = 1
+    # "two" = two-level table + Pallas-merge consolidation (ops.table2
+    # consolidate3, the fast path); "one" = single-buffer sort_reduce
+    # table; "auto" = two on TPU, one elsewhere.
+    table_impl: str = "auto"
 
     def __post_init__(self):
         if not 1 <= self.kmer_length <= 128:
@@ -90,6 +94,7 @@ class Options:
         "checkpointDir": ("checkpoint_dir", str),
         "profile": ("profile", _parse_bool),
         "verbose": ("verbose", int),
+        "tableImpl": ("table_impl", str),
     }
 
     @classmethod

@@ -139,7 +139,210 @@ class CountEngine:
         finally:
             out_q.put(_SENTINEL)
 
+    def _use_two_level(self) -> bool:
+        from kmer_counter_tpu.ops.sortcount import tpu_backend
+
+        impl = self.opts.table_impl
+        if impl == "one":
+            return False
+        if impl == "two":
+            return True
+        # auto: the Pallas-merge consolidation path on TPU; checkpointed
+        # runs stay on the one-level table (snapshot cadence logic lives
+        # there), spill is supported by both.
+        return tpu_backend() and not self.opts.checkpoint_dir
+
     def run(self) -> RunStats:
+        if self._use_two_level():
+            return self._run_two_level()
+        return self._run_one_level()
+
+    def _run_two_level(self) -> RunStats:
+        """Chunk loop over the two-level table (ops.table2): keys-only raw
+        appends at host-mirrored static offsets, Pallas-merge consolidation
+        (consolidate3).  The prefix region is pre-grown so a consolidation
+        can never truncate (lost is asserted 0)."""
+        from kmer_counter_tpu.ops import table2 as t2
+        from kmer_counter_tpu.ops.pipeline import extract_chunk_keys
+        from kmer_counter_tpu.ops.pallas_sort import TILE
+
+        opts = self.opts
+        k = opts.kmer_length
+        stats = RunStats()
+        t_start = time.perf_counter()
+
+        source = DirectoryInput(opts.input_dir)
+        usable = [L for L in source.probe_line_lengths() if L >= k]
+        if not usable:
+            dump_table(
+                opts.output_file,
+                np.zeros((0, records.active_lanes(k)), np.uint32),
+                np.zeros(0, np.uint32),
+            )
+            stats.wall_seconds = time.perf_counter() - t_start
+            return stats
+        line_length = max(usable)
+        reads_per_chunk, table_slots = plan_chunks(opts, line_length)
+        NL = records.active_lanes(k)
+
+        from kmer_counter_tpu.ops.sortcount import tpu_backend
+
+        # On TPU the Pallas merge/compact kernels need (cp+cr) % TILE == 0;
+        # the CPU fallback (consolidate2) has no alignment requirement.
+        grain = TILE if tpu_backend() else 1
+
+        def round_tile(x):
+            return -(-x // grain) * grain
+
+        cp = round_tile(max(table_slots // 4, 1))
+        cr = max(table_slots - cp, round_tile(reads_per_chunk * (line_length - k + 1)))
+        if opts.verbose:
+            print(
+                f"[engine] two-level k={k} canonical={opts.canonical} "
+                f"L={line_length} reads/chunk={reads_per_chunk} "
+                f"prefix={cp} raw={cr} device={self.device}"
+            )
+        table = jax.device_put(t2.make_table2(cp, cr, NL), self.device)
+        live_bound = 0  # prefix rows in use (exact after consolidation)
+        raw_bound = 0  # raw slots in use (host-mirrored, exact)
+
+        chunk_q: "queue.Queue" = queue.Queue(maxsize=max(opts.prefetch_chunks, 1))
+        ingest = threading.Thread(
+            target=self._ingest_worker,
+            args=(source, reads_per_chunk, chunk_q, stats),
+            daemon=True,
+        )
+        ingest.start()
+
+        cp0 = cp
+
+        def consolidate(table, cp, cr):
+            # Pre-grow: live + raw is a hard upper bound on the distinct
+            # keys a consolidation can produce, so growing to it first
+            # makes truncation impossible.
+            nonlocal live_bound
+            if live_bound + raw_bound > cp:
+                new_cp = round_tile(live_bound + raw_bound)
+                if opts.verbose:
+                    print(f"[engine] growing prefix to {new_cp} slots")
+                table = t2.grow2(table, new_cp, cr)
+                cp = new_cp
+            table, live, lost = t2.consolidate3(table)
+            live_bound = int(jax.device_get(live))
+            assert int(jax.device_get(lost)) == 0, "prefix pre-grow violated"
+            stats.consolidations += 1
+            if opts.temp_dir and (cp + cr) > self._max_table_slots_two(NL):
+                # Cardinality outgrew the HBM budget: the table is fully
+                # consolidated now — spill it as a sorted run, restart at
+                # the planned prefix size (BASELINE.json config 4).
+                table = self._spill_two(table, k, stats, cp0, cr)
+                live_bound = 0
+                cp = cp0
+            return table, cp, cr
+
+        cur_L = line_length
+        cur_slots = reads_per_chunk * (cur_L - k + 1)
+        while True:
+            item = chunk_q.get()
+            if item is _SENTINEL:
+                break
+            if item.line_length < k:
+                stats.reads += item.n_reads
+                stats.bases += item.n_reads * item.line_length
+                continue
+            if item.line_length != cur_L:
+                cur_L = item.line_length
+                cur_slots = reads_per_chunk * (cur_L - k + 1)
+            reads = item.reads
+            if reads.shape[0] < reads_per_chunk:
+                pad = np.zeros(
+                    (reads_per_chunk - reads.shape[0], reads.shape[1]),
+                    dtype=np.uint8,
+                )
+                reads = np.vstack([reads, pad])
+            if raw_bound + cur_slots > cr:
+                table, cp, cr = consolidate(table, cp, cr)
+                raw_bound = 0
+            dev_reads = jax.device_put(reads, self.device)
+            lanes, allt = extract_chunk_keys(dev_reads, k, opts.canonical)
+            table = t2.append_raw_at(table, lanes, allt, raw_bound)
+            raw_bound += cur_slots
+            stats.chunks += 1
+            stats.reads += item.n_reads
+            stats.bases += item.n_reads * item.line_length
+
+        ingest.join()
+        if live_bound + raw_bound > cp:
+            # the same pre-grow guarantee for the final merge
+            table = t2.grow2(table, round_tile(live_bound + raw_bound), cr)
+        lanes_np, counts_np = t2.finalize_host(table, k)
+        stats.consolidations += 1
+        if self._scheduler is not None:
+            from kmer_counter_tpu.io import spill as spill_io
+            import os
+
+            stats.spilled_runs += 1
+            self._scheduler.add_run(
+                spill_io.write_run(
+                    os.path.join(opts.temp_dir, "final_table.run"),
+                    lanes_np,
+                    counts_np,
+                )
+            )
+            written = self._scheduler.finish(opts.output_file)
+            self._scheduler = None
+            stats.distinct_kmers = written
+            _, counts_all = load_table(opts.output_file, k)
+            stats.total_kmers = int(counts_all.sum())
+        else:
+            stats.distinct_kmers = len(counts_np)
+            stats.total_kmers = int(counts_np.sum())
+            dump_table(opts.output_file, lanes_np, counts_np)
+        stats.wall_seconds = time.perf_counter() - t_start
+        if opts.verbose:
+            print(
+                f"[engine] reads={stats.reads} bases={stats.bases} "
+                f"distinct={stats.distinct_kmers} total={stats.total_kmers} "
+                f"chunks={stats.chunks} consolidations={stats.consolidations} "
+                f"wall={stats.wall_seconds:.2f}s "
+                f"({stats.kmers_per_second/1e6:.2f}M kmers/s)"
+            )
+        return stats
+
+    def _max_table_slots_two(self, NL: int) -> int:
+        if self.opts.table_slots:
+            return 2 * self.opts.table_slots
+        return 4 * max(
+            self.opts.memory_limit_bytes // 2 // ((NL + 1) * 4 * 3), 1 << 14
+        )
+
+    def _spill_two(self, table, k: int, stats, new_cp: int, new_cr: int):
+        """Finalize the current two-level table to a sorted run on disk and
+        restart empty at the planned size (cardinality outgrew HBM,
+        BASELINE.json config 4)."""
+        import os
+
+        from kmer_counter_tpu.io import spill as spill_io
+        from kmer_counter_tpu.ops import table2 as t2
+
+        opts = self.opts
+        if self._scheduler is None:
+            self._scheduler = spill_io.MergeScheduler(
+                opts.temp_dir,
+                k,
+                fan_in=opts.no_of_mergers_at_once,
+                threads=opts.no_of_merge_threads,
+            )
+        lanes_np, counts_np = t2.finalize_host(table, k)
+        stats.spilled_runs += 1
+        path = os.path.join(opts.temp_dir, f"spill_{stats.spilled_runs:06d}.run")
+        self._scheduler.add_run(spill_io.write_run(path, lanes_np, counts_np))
+        if opts.verbose:
+            print(f"[engine] spilled {len(counts_np)} records -> {path}")
+        NL = table.prefix_lanes.shape[0]
+        return jax.device_put(t2.make_table2(new_cp, new_cr, NL), self.device)
+
+    def _run_one_level(self) -> RunStats:
         opts = self.opts
         k = opts.kmer_length
         stats = RunStats()

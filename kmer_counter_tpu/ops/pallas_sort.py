@@ -504,6 +504,181 @@ def merge_sorted_runs(
     )
 
 
+def _shift_up_masked(v, d: int, i):
+    """x[i] += x[i-d] for i >= d (one prefix-scan doubling stage)."""
+    return v + jnp.where(i >= d, _partner_up(v, d), jnp.zeros_like(v))
+
+
+def _tile_cumsum_excl(x, tile: int):
+    """Exclusive prefix sum of an int32 (rows,128) buffer over its
+    flattened index (whole buffer = one tile), via log2(tile) doubling
+    stages of rolls + masked adds — no scatters, no lax.cumsum (which
+    Mosaic does not lower inside kernels)."""
+    i = _flat_iota(x.shape)
+    acc = x
+    d = 1
+    while d < tile:
+        acc = _shift_up_masked(acc, d, i)
+        d *= 2
+    return acc - x
+
+
+def _dyn_shift_up(v, shift):
+    """v shifted up by a traced 0..127 element offset: out[i] = v[i-shift]
+    (garbage in the first ``shift`` elements — callers blend them)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    u = pltpu.roll(v, shift, 1)
+    u_prev = pltpu.roll(u, 1, 0)
+    return jnp.where(lane >= shift, u, u_prev)
+
+
+def compact_live(
+    operands: Sequence[jnp.ndarray],
+    live: jnp.ndarray,
+    num_keys: int,
+    tile: int = TILE,
+    interpret: bool = False,
+) -> tuple:
+    """Stable stream compaction: rows with ``live != 0`` move to the front
+    (order preserved); the tail is filled with SENTINEL keys / 0 payloads.
+
+    This is the scatter-free compaction the count-table consolidation
+    needs (TPU has no efficient scatter; XLA's alternative is a full
+    1-key+payload sort, 118ms at 18.4M rows — docs/experiments_r2_timing).
+    Mechanism: per 64K-element VMEM tile, a delta-bit-shift network moves
+    each live row left by (#dead before it) in log2(tile) stages (verified
+    collision-free — the remaining displacement rides along and each stage
+    shifts rows whose current bit is set); tiles then append their live
+    prefix at a running element offset kept in SMEM across the sequential
+    grid, with the partial 128-lane row carried in VMEM and re-blended —
+    the overlapping static-length DMA is safe because TPU grids execute
+    in order.
+
+    Returns compacted operands (same widths).  The caller computes
+    ``live_count = sum(live != 0)`` in XLA (one cheap reduction) and must
+    treat rows at/past it as dead.
+    """
+    operands = [v.astype(jnp.uint32) for v in operands]
+    n = operands[0].shape[0]
+    if n % tile != 0:
+        raise ValueError(f"compact_live requires len % {tile} == 0, got {n}")
+    n_ops = len(operands)
+    tr = _rows(tile)
+    buf_rows = tr + _WIN_EXTRA_ROWS
+    pad_rows = tr + _WIN_EXTRA_ROWS  # dyn-offset write slack past n
+    out_rows = n // _LANES + pad_rows
+    n_tiles = n // tile
+
+    def kernel(*refs):
+        ins = refs[: n_ops + 1]  # operands + live flags
+        outs = refs[n_ops + 1 : 2 * n_ops + 1]
+        pos_ref = refs[2 * n_ops + 1]
+        shift_bufs = refs[2 * n_ops + 2 : 3 * n_ops + 2]
+        pend = refs[3 * n_ops + 2]
+        sems = refs[3 * n_ops + 3]
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            pos_ref[0] = 0
+
+        i = _flat_iota((tr, _LANES))
+        alive = ins[n_ops][:] != jnp.uint32(0)
+        dead = ~alive
+        delta = _tile_cumsum_excl(dead.astype(jnp.int32), tile)
+        c_t = tile - jnp.sum(dead.astype(jnp.int32))
+
+        vs = [r[:] for r in ins[:n_ops]]
+        dr = delta
+        d = 1
+        while d < tile:
+            s = d.bit_length() - 1
+            move = alive & (((dr >> s) & 1) == 1)
+            # roll an i32 image of the mask (Mosaic bool-vector rolls are
+            # untested territory; integer rolls are probe-verified)
+            move_i = jnp.where(move, jnp.int32(1), jnp.int32(0))
+            m_in = (_partner_down(move_i, d) != 0) & (i + d < tile)
+            vs = [
+                jnp.where(m_in, _partner_down(v, d), v) for v in vs
+            ]
+            dr = jnp.where(m_in, _partner_down(dr, d), dr)
+            alive = m_in | (alive & ~move)
+            d *= 2
+
+        fills = [
+            SENTINEL if k < num_keys else np.uint32(0) for k in range(n_ops)
+        ]
+        vs = [jnp.where(alive, v, f) for v, f in zip(vs, fills)]
+
+        pos = pos_ref[0]
+        out_row = pos // _LANES
+        p = pos - out_row * _LANES
+        lane = jax.lax.broadcasted_iota(jnp.int32, (buf_rows, _LANES), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (buf_rows, _LANES), 0)
+        copies = []
+        for k in range(n_ops):
+            buf = shift_bufs[k]
+            buf[:tr] = vs[k]
+            buf[tr:] = jnp.full((buf_rows - tr, _LANES), fills[k], jnp.uint32)
+            shifted = _dyn_shift_up(buf[:], p)
+            # blend the carried partial row into row 0's first p lanes
+            blended = jnp.where(
+                (row == 0) & (lane < p), pend[k, 0:1, :], shifted
+            )
+            buf[:] = blended
+            copies.append(
+                pltpu.make_async_copy(
+                    buf.at[pl.ds(0, tr + 1)],
+                    outs[k].at[pl.ds(out_row, tr + 1), :],
+                    sems.at[k],
+                )
+            )
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+        # carry the new partial row: row (p + c_t)//128 of the written block
+        q = (p + c_t) // _LANES
+        for k in range(n_ops):
+            rolled = pltpu.roll(shift_bufs[k][:], buf_rows - q, 0)
+            pend[k, 0:1, :] = rolled[0:1, :]
+        pos_ref[0] = pos + c_t
+
+    grid = (n_tiles,)
+    in_spec = pl.BlockSpec(
+        (tr, _LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[in_spec] * (n_ops + 1),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_ops,
+        out_shape=[
+            jax.ShapeDtypeStruct((out_rows, _LANES), jnp.uint32)
+            for _ in range(n_ops)
+        ],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)]
+        + [pltpu.VMEM((buf_rows, _LANES), jnp.uint32)] * n_ops
+        + [pltpu.VMEM((n_ops, 8, _LANES), jnp.uint32)]
+        + [pltpu.SemaphoreType.DMA((n_ops,))],
+        interpret=interpret,
+    )(
+        *[v.reshape(n // _LANES, _LANES) for v in operands],
+        live.astype(jnp.uint32).reshape(n // _LANES, _LANES),
+    )
+    # Rows past the final write offset were never touched: the caller must
+    # mask at/past the live count — slice to n and overwrite the tail.
+    live_count = jnp.sum((live != 0).astype(jnp.int32))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    cleaned = []
+    for k in range(n_ops):
+        fill = SENTINEL if k < num_keys else np.uint32(0)
+        cleaned.append(
+            jnp.where(idx < live_count, out[k].reshape(out_rows * _LANES)[:n], fill)
+        )
+    return tuple(cleaned)
+
+
 def _merge_pair_call(
     a_pad, b_pad, num_keys, n, a_start, a_end, b_start, b_end, w, interpret
 ):

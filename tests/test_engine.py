@@ -92,6 +92,54 @@ def test_engine_tiny_table_forces_consolidations(tmp_path, rng):
     assert stats.consolidations > 1
 
 
+@pytest.mark.parametrize("k,canonical", [(15, False), (31, True)])
+def test_engine_two_level_matches_golden(tmp_path, rng, k, canonical):
+    # tableImpl=two drives the two-level loop (consolidate3 falls back to
+    # consolidate2 on the CPU backend; the loop/grow/finalize logic is the
+    # same either way).
+    (tmp_path / "in").mkdir()
+    write_fastq(tmp_path / "in" / "a.fastq", random_seqs(rng, 37, 70))
+    (words, counts), stats = run_engine(
+        tmp_path, k, canonical, reads_per_chunk=8, table_impl="two"
+    )
+    want_words, want_counts = golden_dir_table(tmp_path, k, canonical)
+    np.testing.assert_array_equal(words, want_words)
+    np.testing.assert_array_equal(counts, want_counts)
+    assert stats.total_kmers == int(want_counts.sum())
+
+
+def test_engine_two_level_grow_under_pressure(tmp_path, rng):
+    (tmp_path / "in").mkdir()
+    write_fastq(tmp_path / "in" / "a.fastq", random_seqs(rng, 64, 40))
+    (words, counts), stats = run_engine(
+        tmp_path, 15, reads_per_chunk=4, table_slots=600, table_impl="two"
+    )
+    want_words, want_counts = golden_dir_table(tmp_path, 15)
+    np.testing.assert_array_equal(words, want_words)
+    np.testing.assert_array_equal(counts, want_counts)
+    assert stats.consolidations > 1
+
+
+def test_engine_two_level_spill(tmp_path, rng):
+    # Tiny budget + a temp dir: the two-level engine must spill sorted
+    # runs and host-merge them (config 4 analog).
+    (tmp_path / "in").mkdir()
+    (tmp_path / "tmpdir").mkdir()
+    write_fastq(tmp_path / "in" / "a.fastq", random_seqs(rng, 96, 40))
+    (words, counts), stats = run_engine(
+        tmp_path,
+        15,
+        reads_per_chunk=8,
+        table_slots=512,
+        table_impl="two",
+        temp_dir=str(tmp_path / "tmpdir"),
+    )
+    want_words, want_counts = golden_dir_table(tmp_path, 15)
+    np.testing.assert_array_equal(words, want_words)
+    np.testing.assert_array_equal(counts, want_counts)
+    assert stats.spilled_runs >= 2
+
+
 def test_engine_mixed_line_lengths(tmp_path, rng):
     # Files of different read lengths trigger a shape change mid-run.
     (tmp_path / "in").mkdir()

@@ -93,6 +93,87 @@ def test_length_not_tile_multiple_raises(rng):
         ps.sort_ops(_rand_ops(rng, TILE + 128, 1), 1, tile=TILE, interpret=True)
 
 
+def test_merge_sorted_runs_unequal(rng):
+    na, nb = TILE, 3 * TILE
+    a = np.sort(rng.integers(0, 2**32, na, np.uint64).astype(np.uint32))
+    b = np.sort(rng.integers(0, 2**32, nb, np.uint64).astype(np.uint32))
+    ap = rng.integers(0, 2**32, na, np.uint64).astype(np.uint32)
+    bp = rng.integers(0, 2**32, nb, np.uint64).astype(np.uint32)
+    got = ps.merge_sorted_runs(
+        [jnp.asarray(a), jnp.asarray(ap)],
+        [jnp.asarray(b), jnp.asarray(bp)],
+        1,
+        tile=TILE,
+        interpret=True,
+    )
+    want = jax.lax.sort(
+        (jnp.asarray(np.concatenate([a, b])), jnp.asarray(np.concatenate([ap, bp]))),
+        dimension=0,
+        num_keys=1,
+    )
+    assert np.array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    assert _payload_multiset_equal(got, want, 1, 1)
+
+
+def test_merge_sorted_runs_dups_and_sentinel_tails(rng):
+    # the consolidation shape: both runs carry duplicate keys and trailing
+    # sentinel (count-0) regions
+    na, nb = 2 * TILE, 2 * TILE
+    a = np.sort(rng.integers(0, 64, na, np.uint64).astype(np.uint32))
+    a[-TILE // 2 :] = 0xFFFFFFFF
+    b = np.sort(rng.integers(0, 64, nb, np.uint64).astype(np.uint32))
+    b[-TILE // 3 :] = 0xFFFFFFFF
+    ac = (a != 0xFFFFFFFF).astype(np.uint32)
+    bc = (b != 0xFFFFFFFF).astype(np.uint32)
+    got = ps.merge_sorted_runs(
+        [jnp.asarray(a), jnp.asarray(ac)],
+        [jnp.asarray(b), jnp.asarray(bc)],
+        1,
+        tile=TILE,
+        interpret=True,
+    )
+    keys = np.asarray(got[0])
+    counts = np.asarray(got[1])
+    assert np.array_equal(keys, np.sort(np.concatenate([a, b])))
+    # count totals per genuine key preserved
+    live = keys != 0xFFFFFFFF
+    want_total = int(ac.sum() + bc.sum())
+    assert int(counts[live].sum()) == want_total
+
+
+def test_compact_live(rng):
+    n = 3 * TILE
+    keys = rng.integers(0, 2**32, n, np.uint64).astype(np.uint32)
+    pay = rng.integers(0, 2**32, n, np.uint64).astype(np.uint32)
+    live = (rng.random(n) < 0.4).astype(np.uint32)
+    got = ps.compact_live(
+        [jnp.asarray(keys), jnp.asarray(pay)],
+        jnp.asarray(live),
+        num_keys=1,
+        tile=TILE,
+        interpret=True,
+    )
+    nl = int(live.sum())
+    assert np.array_equal(np.asarray(got[0])[:nl], keys[live != 0])
+    assert np.array_equal(np.asarray(got[1])[:nl], pay[live != 0])
+    assert np.all(np.asarray(got[0])[nl:] == 0xFFFFFFFF)
+    assert np.all(np.asarray(got[1])[nl:] == 0)
+
+
+@pytest.mark.parametrize("density", [0.0, 1.0, 0.97])
+def test_compact_live_extremes(rng, density):
+    n = 2 * TILE
+    keys = rng.integers(0, 2**32, n, np.uint64).astype(np.uint32)
+    live = (rng.random(n) < density).astype(np.uint32)
+    got = ps.compact_live(
+        [jnp.asarray(keys)], jnp.asarray(live), num_keys=1, tile=TILE,
+        interpret=True,
+    )
+    nl = int(live.sum())
+    assert np.array_equal(np.asarray(got[0])[:nl], keys[live != 0])
+    assert np.all(np.asarray(got[0])[nl:] == 0xFFFFFFFF)
+
+
 def test_diag_splits_partition(rng):
     # XLA-side merge-path search: consumptions partition both runs, each
     # tile consumes exactly W elements, and outputs are range-disjoint.

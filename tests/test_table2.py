@@ -95,6 +95,47 @@ def test_two_level_grow(rng):
     assert table_counter(table, k) == want
 
 
+def test_consolidate3_matches_golden(rng):
+    # The Pallas-merge consolidation path (interpret mode: one 64K tile).
+    # Several rounds so the prefix re-merges with later raw regions.
+    k = 15
+    canonical = True
+    NL = records.active_lanes(k)
+    CP, CR = 16384, 49152  # CP+CR == pallas_sort.TILE
+    table = t2.make_table2(CP, CR, NL)
+    chunks = [random_reads(rng, 16, 40, invalid_frac=0.05) for _ in range(4)]
+    for i, reads in enumerate(chunks):
+        lanes, allt = extract_chunk_keys(jnp.asarray(reads), k, canonical)
+        if not t2.raw_append_fits(table, lanes.shape[1]) or i == 2:
+            table, live, lost = t2.consolidate3(table, _interpret=True)
+            assert int(lost) == 0
+        table = t2.append_raw(table, lanes, allt)
+    table, live, lost = t2.consolidate3(table, _interpret=True)
+    assert int(lost) == 0
+    # prefix is unique + compact: live rows all count>0, sorted strictly
+    counts = np.asarray(table.prefix_counts)
+    nl = int(live)
+    assert np.all(counts[:nl] > 0) and np.all(counts[nl:] == 0)
+    lanes_np = np.asarray(table.prefix_lanes)[:, :nl]
+    keys = [tuple(lanes_np[:, i]) for i in range(nl)]
+    assert keys == sorted(set(keys)), "prefix not strictly sorted unique"
+    got = table_counter(table, k)
+    want = dict(golden.count_reads(np.vstack(chunks), k, canonical))
+    assert got == want
+
+
+def test_consolidate3_lost_detection(rng):
+    k = 15
+    NL = records.active_lanes(k)
+    CP, CR = 128, 65536 - 128
+    table = t2.make_table2(CP, CR, NL)
+    reads = random_reads(rng, 16, 40)
+    lanes, allt = extract_chunk_keys(jnp.asarray(reads), k, False)
+    table = t2.append_raw(table, lanes, allt)
+    _, live, lost = t2.consolidate3(table, _interpret=True)
+    assert int(lost) > 0  # far more distinct keys than the 128-slot prefix
+
+
 def test_finalize_host_merges_and_raises_on_lost(rng):
     k = 15
     reads = random_reads(rng, 8, 30)
