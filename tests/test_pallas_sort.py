@@ -141,6 +141,32 @@ def test_merge_sorted_runs_dups_and_sentinel_tails(rng):
     assert int(counts[live].sum()) == want_total
 
 
+def test_merge_and_compact_five_operands(rng):
+    # k=55..128 records: 4 key lanes + count = 5 operands end to end.
+    na, nb = TILE, TILE
+    a_keys = np.sort(rng.integers(0, 2**16, na, np.uint64).astype(np.uint32))
+    b_keys = np.sort(rng.integers(0, 2**16, nb, np.uint64).astype(np.uint32))
+    a_ops = [jnp.asarray(a_keys)] * 4 + [
+        jnp.asarray(rng.integers(1, 4, na, np.uint64).astype(np.uint32))
+    ]
+    b_ops = [jnp.asarray(b_keys)] * 4 + [
+        jnp.asarray(rng.integers(1, 4, nb, np.uint64).astype(np.uint32))
+    ]
+    got = ps.merge_sorted_runs(a_ops, b_ops, 4, tile=TILE, interpret=True)
+    want_keys = np.sort(np.concatenate([a_keys, b_keys]))
+    for i in range(4):
+        assert np.array_equal(np.asarray(got[i]), want_keys)
+    assert int(np.asarray(got[4]).sum()) == int(a_ops[4].sum() + b_ops[4].sum())
+    live = (np.asarray(got[4]) % 2).astype(np.uint32)  # arbitrary subset
+    comp = ps.compact_live(list(got), jnp.asarray(live), num_keys=4,
+                           tile=TILE, interpret=True)
+    nl = int(live.sum())
+    assert np.array_equal(np.asarray(comp[0])[:nl], want_keys[live != 0])
+    assert np.array_equal(
+        np.asarray(comp[4])[:nl], np.asarray(got[4])[live != 0]
+    )
+
+
 def test_compact_live(rng):
     n = 3 * TILE
     keys = rng.integers(0, 2**32, n, np.uint64).astype(np.uint32)
