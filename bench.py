@@ -9,6 +9,14 @@ Prints ONE JSON line:
   {"metric": "kmers_per_sec_per_chip_k31", "value": ..., "unit": "kmers/s",
    "vs_baseline": ...}
 
+Timeout-proofing (round 2 was lost to a driver timeout during remote XLA
+compiles, BENCH_r02.json rc=124): the run banks a result as soon as the
+cheap one-level-table phase finishes (its executables are compile-cached
+from earlier rounds), then upgrades to the two-level Pallas-consolidation
+number if the budget allows.  A watchdog thread prints the best banked
+JSON line and exits 0 at BENCH_DEADLINE_S (default 520s) so a slow remote
+compile can never swallow the whole run again.
+
 ``vs_baseline`` is measured, not copied: the reference publishes no numbers
 (BASELINE.md) and its CUDA binary cannot run here, so the baseline proxy is
 the same workload executed by the best host-side implementation of the
@@ -18,6 +26,7 @@ insert loop).  vs_baseline = device_throughput / host_proxy_throughput.
 
 Env knobs: BENCH_READS (default 65536), BENCH_ITERS (8), BENCH_K (31),
 BENCH_CANONICAL (1), BENCH_LINE_LEN (100), BENCH_GENOME (1000000),
+BENCH_PHASES ("one,two"), BENCH_DEADLINE_S (520),
 JAX_COMPILATION_CACHE_DIR (default /tmp/jax_compile_cache — remote
 compiles through this environment's tunnel take minutes; the persistent
 cache makes reruns start in seconds).
@@ -25,10 +34,60 @@ cache makes reruns start in seconds).
 
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
 import numpy as np
+
+_BANK = {"json": None}
+_T0 = time.perf_counter()
+
+
+def _log(msg):
+    print(f"[bench +{time.perf_counter() - _T0:5.1f}s] {msg}", file=sys.stderr)
+    sys.stderr.flush()
+
+
+def _bank(metric, value, vs_baseline):
+    _BANK["json"] = json.dumps(
+        {
+            "metric": metric,
+            "value": round(value, 1),
+            "unit": "kmers/s",
+            "vs_baseline": round(vs_baseline, 2),
+        }
+    )
+    _log(f"banked: {_BANK['json']}")
+
+
+def _emit_and_exit(rc):
+    if _BANK["json"] is not None:
+        print(_BANK["json"], flush=True)
+    os._exit(rc)
+
+
+def _arm_watchdog(deadline_s):
+    """Print the best banked result and exit before the driver's timeout.
+
+    A daemon *thread* (not a signal handler): Python signal handlers only
+    run between bytecodes on the main thread, which can be blocked for
+    minutes inside one remote XLA compile — exactly the failure mode that
+    produced BENCH_r02.json's rc=124 with no output."""
+
+    def fire():
+        time.sleep(deadline_s)
+        _log(f"watchdog fired at {deadline_s}s — emitting best banked result")
+        _emit_and_exit(0)
+
+    threading.Thread(target=fire, daemon=True).start()
+    # Best-effort TERM handler for the measurement loops (no-op while the
+    # main thread is inside a C++ compile, hence the thread above).
+    try:
+        signal.signal(signal.SIGTERM, lambda *_a: _emit_and_exit(0))
+    except Exception:
+        pass
 
 
 def host_proxy_throughput(reads, k, canonical):
@@ -55,12 +114,34 @@ def host_proxy_throughput(reads, k, canonical):
     return (R * P) / dt
 
 
+def _measure(step, drain, table, iters, label):
+    """Warm up (compiles), then best-of-3 timed reps of ``iters`` chunks."""
+    t0 = time.perf_counter()
+    for _ in range(4):
+        table = step(table)
+    drain(table)
+    _log(f"{label}: compile+warmup {time.perf_counter() - t0:.1f}s")
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            table = step(table)
+        drain(table)
+        best = min(best, time.perf_counter() - t0)
+    return best, table
+
+
 def main():
     n_reads = int(os.environ.get("BENCH_READS", 65536))
     iters = int(os.environ.get("BENCH_ITERS", 8))
     k = int(os.environ.get("BENCH_K", 31))
     canonical = os.environ.get("BENCH_CANONICAL", "1") == "1"
     L = int(os.environ.get("BENCH_LINE_LEN", 100))
+    phases = os.environ.get("BENCH_PHASES", "one,two").split(",")
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", 520))
+    metric = f"kmers_per_sec_per_chip_k{k}"
+
+    _arm_watchdog(deadline_s)
 
     import jax
 
@@ -88,110 +169,110 @@ def main():
     kmers_per_chunk = n_reads * P
     capacity = 4 * kmers_per_chunk
     device = jax.devices()[0]
-    print(
-        f"[bench] device={device} reads={n_reads} L={L} k={k} "
+    _log(
+        f"device={device} reads={n_reads} L={L} k={k} "
         f"canonical={canonical} kmers/chunk={kmers_per_chunk} "
-        f"table={capacity} slots",
-        file=sys.stderr,
+        f"table={capacity} slots"
     )
+
+    # Host proxy first (pure NumPy, ~20s): every banked result gets a real
+    # vs_baseline.  best-of-3: the first NumPy pass can be 10-70x slow on a
+    # cold allocator/cache (observed in the round-1 driver run).
+    proxy_reads = reads[:1024]  # fixed size: keeps vs_baseline comparable
+    proxy_tput = max(
+        host_proxy_throughput(proxy_reads, k, canonical) for _ in range(3)
+    )
+    _log(f"host proxy {proxy_tput / 1e6:.2f}M kmers/s")
 
     dev_reads = jax.device_put(jnp.asarray(reads), device)
     n_scalar = jnp.int32(kmers_per_chunk)
 
     from kmer_counter_tpu.ops import extract_chunk
 
-    state = {"bound": 0, "consolidations": 0}
-    mode = os.environ.get("BENCH_TABLE", "two")
+    best_tput = 0.0
 
-    if mode == "two":
-        # Two-level table + Pallas-merge consolidation (ops.table2
-        # consolidate3): keys-only raw appends, one merge-path pass +
-        # stream compaction per consolidation.
-        from kmer_counter_tpu.ops import table2 as t2
-        from kmer_counter_tpu.ops.pipeline import extract_chunk_keys
+    if "one" in phases:
+        # Phase 1 — one-level table (ops.table): executables are
+        # compile-cached from round 1; banks a result fast.
+        try:
+            table = jax.device_put(
+                table_ops.make_table(capacity, active_lanes(k)), device
+            )
+            state = {"bound": 0, "consolidations": 0}
 
-        cp = kmers_per_chunk  # prefix: all distinct keys must fit
-        cr = capacity - cp
-        table = jax.device_put(t2.make_table2(cp, cr, active_lanes(k)), device)
+            def drain1(table):
+                # Force full completion: fetch a scalar that depends on the
+                # whole chain.  (block_until_ready alone can return early
+                # through the remote-tunnel backend.)
+                return int(jax.device_get(table.offset))
 
-        def drain(table):
-            return int(jax.device_get(table.raw_off))
+            def step1(table):
+                if state["bound"] + kmers_per_chunk > capacity:
+                    table = table_ops.consolidate(table)
+                    state["bound"] = drain1(table)
+                    state["consolidations"] += 1
+                lanes, counts = extract_chunk(dev_reads, k, canonical)
+                table = table_ops.append(table, lanes, counts, n_scalar)
+                state["bound"] += kmers_per_chunk
+                return table
 
-        def step(table):
-            if state["bound"] + kmers_per_chunk > cr:
-                table, live, lost = t2.consolidate3(table)
-                state["bound"] = 0
-                state["consolidations"] += 1
-            lanes, allt = extract_chunk_keys(dev_reads, k, canonical)
-            table = t2.append_raw_at(table, lanes, allt, state["bound"])
-            state["bound"] += kmers_per_chunk
-            return table
+            dt, table = _measure(step1, drain1, table, iters, "one-level")
+            del table
+            tput = iters * kmers_per_chunk / dt
+            _log(
+                f"one-level: {dt / iters * 1e3:.1f}ms/chunk -> "
+                f"{tput / 1e6:.1f}M kmers/s "
+                f"({state['consolidations']} consolidations)"
+            )
+            if tput > best_tput:
+                best_tput = tput
+                _bank(metric, tput, tput / proxy_tput)
+        except Exception as e:  # never let phase 1 kill the run
+            _log(f"one-level phase failed: {e!r}")
 
-    else:
-        table = jax.device_put(
-            table_ops.make_table(capacity, active_lanes(k)), device
-        )
+    if "two" in phases:
+        # Phase 2 — two-level table + Pallas-merge consolidation
+        # (ops.table2 consolidate3): keys-only raw appends, one merge-path
+        # pass + stream compaction per consolidation.
+        try:
+            from kmer_counter_tpu.ops import table2 as t2
+            from kmer_counter_tpu.ops.pipeline import extract_chunk_keys
 
-        def drain(table):
-            # Force full completion: fetch a scalar that depends on the
-            # whole chain.  (block_until_ready alone can return early
-            # through the remote-tunnel backend.)
-            return int(jax.device_get(table.offset))
+            cp = kmers_per_chunk  # prefix: all distinct keys must fit
+            cr = capacity - cp
+            table = jax.device_put(t2.make_table2(cp, cr, active_lanes(k)), device)
+            state = {"bound": 0, "consolidations": 0}
 
-        def step(table):
-            # consolidate when the next raw append would overflow, then
-            # extract + append (no per-chunk sort).
-            if state["bound"] + kmers_per_chunk > capacity:
-                table = table_ops.consolidate(table)
-                state["bound"] = drain(table)
-                state["consolidations"] += 1
-            lanes, counts = extract_chunk(dev_reads, k, canonical)
-            table = table_ops.append(table, lanes, counts, n_scalar)
-            state["bound"] += kmers_per_chunk
-            return table
+            def drain2(table):
+                return int(jax.device_get(table.raw_off))
 
-    # Warmup / compile (extract, append, consolidate all compiled here).
-    t0 = time.perf_counter()
-    for _ in range(4):
-        table = step(table)
-    drain(table)
-    compile_s = time.perf_counter() - t0
+            def step2(table):
+                if state["bound"] + kmers_per_chunk > cr:
+                    table, live, lost = t2.consolidate3(table)
+                    state["bound"] = 0
+                    state["consolidations"] += 1
+                lanes, allt = extract_chunk_keys(dev_reads, k, canonical)
+                table = t2.append_raw_at(table, lanes, allt, state["bound"])
+                state["bound"] += kmers_per_chunk
+                return table
 
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            table = step(table)
-        drain(table)
-        best = min(best, time.perf_counter() - t0)
-    dt = best
-    device_tput = iters * kmers_per_chunk / dt
-    print(f"[bench] consolidations={state['consolidations']}", file=sys.stderr)
-    print(
-        f"[bench] compile={compile_s:.1f}s steady={dt/iters*1e3:.1f}ms/chunk "
-        f"-> {device_tput/1e6:.1f}M kmers/s",
-        file=sys.stderr,
-    )
+            dt, table = _measure(step2, drain2, table, iters, "two-level")
+            del table
+            tput = iters * kmers_per_chunk / dt
+            _log(
+                f"two-level: {dt / iters * 1e3:.1f}ms/chunk -> "
+                f"{tput / 1e6:.1f}M kmers/s "
+                f"({state['consolidations']} consolidations)"
+            )
+            if tput > best_tput:
+                best_tput = tput
+                _bank(metric, tput, tput / proxy_tput)
+        except Exception as e:
+            _log(f"two-level phase failed: {e!r}")
 
-    proxy_reads = reads[:1024]  # fixed size: keeps vs_baseline comparable
-    # best-of-3: the first NumPy pass can be 10-70x slow on a cold
-    # allocator/cache (observed in the round-1 driver run), which would
-    # inflate vs_baseline meaninglessly.
-    proxy_tput = max(
-        host_proxy_throughput(proxy_reads, k, canonical) for _ in range(3)
-    )
-    print(f"[bench] host proxy {proxy_tput/1e6:.2f}M kmers/s", file=sys.stderr)
-
-    print(
-        json.dumps(
-            {
-                "metric": f"kmers_per_sec_per_chip_k{k}",
-                "value": round(device_tput, 1),
-                "unit": "kmers/s",
-                "vs_baseline": round(device_tput / proxy_tput, 2),
-            }
-        )
-    )
+    if _BANK["json"] is None:
+        raise SystemExit("no phase produced a measurement")
+    print(_BANK["json"], flush=True)
 
 
 if __name__ == "__main__":

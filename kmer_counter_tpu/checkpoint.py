@@ -6,10 +6,15 @@ table *is* the engine's entire state, so a checkpoint is cheap and exact:
 
   * snapshot: the consolidated table in the standard record format
     (records.py §2.2) plus a JSON manifest recording the configuration
-    fingerprint and how many reads have been fully absorbed;
+    fingerprint, how many reads have been fully absorbed, the per-file
+    breakdown of those reads, and the out-of-band all-T count (the
+    two-level table's sentinel-aliased key, ops.table2 docstring);
   * resume: load the table back into the accumulator and skip the absorbed
     read prefix during ingest (ingest order is deterministic: sorted files,
-    sequential reads).
+    sequential reads).  The per-file breakdown is verified against what the
+    skip actually consumed — per-file fault tolerance (io.fastq) means the
+    read *sequence* can silently change between runs if a file's
+    readability changes, which would otherwise misalign the resume.
 
 Counts are exact on resume because a chunk is only marked absorbed after
 the device step that includes it has been enqueued and the snapshot is
@@ -20,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+from typing import NamedTuple
 
 import numpy as np
 
@@ -27,6 +33,16 @@ from kmer_counter_tpu import records
 
 MANIFEST = "checkpoint.json"
 TABLE = "table.bin"
+
+
+class Snapshot(NamedTuple):
+    """A loaded checkpoint."""
+
+    lanes: np.ndarray  # [U, W] uint32 ABI-width, sorted
+    counts: np.ndarray  # [U] uint32
+    reads_absorbed: int
+    files: dict[str, int] | None  # per-file absorbed reads (None: old ckpt)
+    allt: int  # out-of-band all-T count (two-level table)
 
 
 def config_fingerprint(opts) -> dict:
@@ -43,6 +59,8 @@ def save(
     lanes: np.ndarray,
     counts: np.ndarray,
     reads_absorbed: int,
+    files: dict[str, int] | None = None,
+    allt: int = 0,
 ) -> None:
     """Atomically write table + manifest (write tmp, then rename)."""
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -57,15 +75,18 @@ def save(
         "config": config_fingerprint(opts),
         "reads_absorbed": int(reads_absorbed),
         "records": int(keep.sum()),
+        "allt": int(allt),
     }
+    if files is not None:
+        manifest["files"] = {k: int(v) for k, v in files.items()}
     tmp_manifest = os.path.join(ckpt_dir, MANIFEST + ".tmp")
     with open(tmp_manifest, "w") as fh:
         json.dump(manifest, fh)
     os.replace(tmp_manifest, os.path.join(ckpt_dir, MANIFEST))
 
 
-def load(ckpt_dir: str, opts):
-    """Returns (lanes, counts, reads_absorbed) or None if absent/mismatched.
+def load(ckpt_dir: str, opts) -> Snapshot | None:
+    """Returns a Snapshot, or None if absent/mismatched.
 
     A manifest whose config fingerprint differs from the current run is
     ignored (counting k=31 cannot resume a k=15 snapshot).
@@ -81,4 +102,10 @@ def load(ckpt_dir: str, opts):
     with open(table_path, "rb") as fh:
         words, counts = records.parse_records(fh.read(), opts.kmer_length)
     lanes = records.words_to_lanes(words)
-    return lanes, counts, int(manifest["reads_absorbed"])
+    return Snapshot(
+        lanes,
+        counts,
+        int(manifest["reads_absorbed"]),
+        manifest.get("files"),
+        int(manifest.get("allt", 0)),
+    )

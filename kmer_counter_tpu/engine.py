@@ -40,6 +40,14 @@ def jnp_int32(x: int):
 _SENTINEL = object()
 
 
+def _file_key(path: str) -> str:
+    """Checkpoint-manifest key for a source file (stable across absolute/
+    relative invocation differences)."""
+    import os
+
+    return os.path.basename(path) if path else ""
+
+
 @dataclass
 class RunStats:
     """End-of-run summary (the observability the reference lacks, §5)."""
@@ -115,13 +123,27 @@ class CountEngine:
         self.device = device or jax.devices()[0]
         self._scheduler = None  # lazy spill-merge scheduler (io.spill)
 
-    def _ingest_worker(self, source, reads_per_chunk, out_q, stats, skip_reads=0):
+    def _ingest_worker(
+        self,
+        source,
+        reads_per_chunk,
+        out_q,
+        stats,
+        skip_reads=0,
+        expected_files=None,
+    ):
         """Prefetch thread: parse chunks ahead of the device (the analog of
         the reference's reader-ahead main loop, KMerCounter.cpp:123-143).
 
         ``skip_reads`` reads are consumed and discarded first (checkpoint
-        resume; ingest order is deterministic)."""
+        resume; ingest order is deterministic).  ``expected_files`` is the
+        checkpoint's per-file absorbed-read manifest: per-file ingest fault
+        tolerance can silently change the read sequence between runs (a
+        file's readability changed), so the skip verifies it consumed
+        exactly the recorded per-file counts and fails loudly otherwise
+        (an Exception item on the queue, re-raised by the consumer)."""
         try:
+            skipped: dict[str, int] = {}
             while skip_reads > 0:
                 t0 = time.perf_counter()
                 chunk = source.read_chunk(min(reads_per_chunk, skip_reads))
@@ -129,6 +151,19 @@ class CountEngine:
                 if chunk is None:
                     break
                 skip_reads -= chunk.n_reads
+                name = _file_key(chunk.path)
+                skipped[name] = skipped.get(name, 0) + chunk.n_reads
+            if expected_files is not None and skipped != expected_files:
+                out_q.put(
+                    RuntimeError(
+                        "checkpoint resume drift: the ingest skip consumed "
+                        f"{skipped} but the checkpoint absorbed "
+                        f"{expected_files} — the input directory's readable "
+                        "file set changed since the snapshot; delete the "
+                        "checkpoint to recount from scratch"
+                    )
+                )
+                return
             while True:
                 t0 = time.perf_counter()
                 chunk = source.read_chunk(reads_per_chunk)
@@ -147,10 +182,9 @@ class CountEngine:
             return False
         if impl == "two":
             return True
-        # auto: the Pallas-merge consolidation path on TPU; checkpointed
-        # runs stay on the one-level table (snapshot cadence logic lives
-        # there), spill is supported by both.
-        return tpu_backend() and not self.opts.checkpoint_dir
+        # auto: the Pallas-merge consolidation path on TPU (checkpointing
+        # and spill are supported by both paths).
+        return tpu_backend()
 
     def run(self) -> RunStats:
         if self._use_two_level():
@@ -202,14 +236,49 @@ class CountEngine:
                 f"L={line_length} reads/chunk={reads_per_chunk} "
                 f"prefix={cp} raw={cr} device={self.device}"
             )
-        table = jax.device_put(t2.make_table2(cp, cr, NL), self.device)
         live_bound = 0  # prefix rows in use (exact after consolidation)
         raw_bound = 0  # raw slots in use (host-mirrored, exact)
+        skip_reads = 0
+        expected_files = None
+        resumed = None
+        if opts.checkpoint_dir:
+            from kmer_counter_tpu import checkpoint as ckpt
+
+            resumed = ckpt.load(opts.checkpoint_dir, opts)
+        if resumed is not None:
+            U = len(resumed.counts)
+            cp = round_tile(max(cp, U))
+            pl = np.zeros((NL, cp), np.uint32)
+            pc = np.zeros((cp,), np.uint32)
+            pl[:, :U] = records.strip_lanes_to_active(resumed.lanes, k).T
+            pc[:U] = resumed.counts
+            table = jax.device_put(
+                t2.TwoLevelTable(
+                    pl,
+                    pc,
+                    np.zeros((NL, cr), np.uint32),
+                    np.int32(0),
+                    np.uint32(resumed.allt),
+                ),
+                self.device,
+            )
+            live_bound = U
+            skip_reads = resumed.reads_absorbed
+            expected_files = resumed.files
+            stats.reads = skip_reads
+            stats.per_file = dict(resumed.files or {})
+            if opts.verbose:
+                print(
+                    f"[engine] resumed checkpoint: {U} records, "
+                    f"{skip_reads} reads absorbed"
+                )
+        else:
+            table = jax.device_put(t2.make_table2(cp, cr, NL), self.device)
 
         chunk_q: "queue.Queue" = queue.Queue(maxsize=max(opts.prefetch_chunks, 1))
         ingest = threading.Thread(
             target=self._ingest_worker,
-            args=(source, reads_per_chunk, chunk_q, stats),
+            args=(source, reads_per_chunk, chunk_q, stats, skip_reads, expected_files),
             daemon=True,
         )
         ingest.start()
@@ -229,8 +298,48 @@ class CountEngine:
                 cp = new_cp
             table, live, lost = t2.consolidate3(table)
             live_bound = int(jax.device_get(live))
-            assert int(jax.device_get(lost)) == 0, "prefix pre-grow violated"
+            lost_n = int(jax.device_get(lost))
+            if lost_n:
+                raise RuntimeError(
+                    f"consolidation truncated {lost_n} live records: "
+                    "prefix pre-grow invariant violated"
+                )
             stats.consolidations += 1
+            if (
+                opts.checkpoint_every
+                and opts.checkpoint_dir
+                and self._scheduler is None  # spilled state isn't snapshotted
+                and stats.consolidations % opts.checkpoint_every == 0
+            ):
+                # The consolidated prefix contains every chunk enqueued so
+                # far (stats.reads), making the snapshot exact.  The CPU
+                # fallback (consolidate2) can leave ≤2 live rows per key;
+                # fold them on host so the snapshot is a plain sorted table.
+                from kmer_counter_tpu import checkpoint as ckpt
+
+                s_lanes = np.asarray(
+                    jax.device_get(table.prefix_lanes[:, :live_bound])
+                ).T
+                s_counts = np.asarray(
+                    jax.device_get(table.prefix_counts[:live_bound])
+                )
+                keep = s_counts > 0
+                s_lanes, s_counts = s_lanes[keep], s_counts[keep]
+                if len(s_counts):
+                    head = np.concatenate(
+                        [[True], (s_lanes[1:] != s_lanes[:-1]).any(axis=1)]
+                    )
+                    s_counts = np.add.reduceat(s_counts, np.flatnonzero(head))
+                    s_lanes = s_lanes[head]
+                ckpt.save(
+                    opts.checkpoint_dir,
+                    opts,
+                    s_lanes,
+                    s_counts,
+                    stats.reads,
+                    files=dict(stats.per_file),
+                    allt=int(jax.device_get(table.allt)),
+                )
             if opts.temp_dir and (cp + cr) > self._max_table_slots_two(NL):
                 # Cardinality outgrew the HBM budget: the table is fully
                 # consolidated now — spill it as a sorted run, restart at
@@ -246,9 +355,13 @@ class CountEngine:
             item = chunk_q.get()
             if item is _SENTINEL:
                 break
+            if isinstance(item, Exception):
+                raise item
+            name = _file_key(item.path)
             if item.line_length < k:
                 stats.reads += item.n_reads
                 stats.bases += item.n_reads * item.line_length
+                stats.per_file[name] = stats.per_file.get(name, 0) + item.n_reads
                 continue
             if item.line_length != cur_L:
                 cur_L = item.line_length
@@ -270,6 +383,7 @@ class CountEngine:
             stats.chunks += 1
             stats.reads += item.n_reads
             stats.bases += item.n_reads * item.line_length
+            stats.per_file[name] = stats.per_file.get(name, 0) + item.n_reads
 
         ingest.join()
         if live_bound + raw_bound > cp:
@@ -368,13 +482,17 @@ class CountEngine:
 
         host_bound = 0  # worst-case table offset (see ops.table docstring)
         skip_reads = 0
+        expected_files = None
         resumed = None
         if opts.checkpoint_dir:
             from kmer_counter_tpu import checkpoint as ckpt
 
             resumed = ckpt.load(opts.checkpoint_dir, opts)
         if resumed is not None:
-            ck_lanes, ck_counts, skip_reads = resumed
+            ck_lanes, ck_counts = resumed.lanes, resumed.counts
+            skip_reads = resumed.reads_absorbed
+            expected_files = resumed.files
+            stats.per_file = dict(resumed.files or {})
             U = len(ck_counts)
             while U + reads_per_chunk * (line_length - k + 1) > table_slots:
                 table_slots *= 2
@@ -401,7 +519,7 @@ class CountEngine:
         chunk_q: "queue.Queue" = queue.Queue(maxsize=max(opts.prefetch_chunks, 1))
         ingest = threading.Thread(
             target=self._ingest_worker,
-            args=(source, reads_per_chunk, chunk_q, stats, skip_reads),
+            args=(source, reads_per_chunk, chunk_q, stats, skip_reads, expected_files),
             daemon=True,
         )
         ingest.start()
@@ -412,11 +530,15 @@ class CountEngine:
             item = chunk_q.get()
             if item is _SENTINEL:
                 break
+            if isinstance(item, Exception):
+                raise item
+            name = _file_key(item.path)
             if item.line_length < k:
                 # No k-mers can come from these reads; skip the chunk
                 # (the golden model skips short reads too).
                 stats.reads += item.n_reads
                 stats.bases += item.n_reads * item.line_length
+                stats.per_file[name] = stats.per_file.get(name, 0) + item.n_reads
                 continue
             if item.line_length != cur_L:
                 # New file with a different read length: new static shapes.
@@ -451,6 +573,7 @@ class CountEngine:
                         np.asarray(jax.device_get(table.lanes[:, :host_bound])).T,
                         np.asarray(jax.device_get(table.counts[:host_bound])),
                         stats.reads,
+                        files=dict(stats.per_file),
                     )
                 if host_bound + cur_slots > table_slots:
                     if (
@@ -473,6 +596,7 @@ class CountEngine:
             stats.chunks += 1
             stats.reads += item.n_reads
             stats.bases += item.n_reads * item.line_length
+            stats.per_file[name] = stats.per_file.get(name, 0) + item.n_reads
 
         ingest.join()
         table = table_ops.consolidate(table)
@@ -663,8 +787,12 @@ class MeshCountEngine:
                 item = chunk_q.get()
                 if item is _SENTINEL:
                     return None
+                if isinstance(item, Exception):
+                    raise item
                 stats.reads += item.n_reads
                 stats.bases += item.n_reads * item.line_length
+                name = _file_key(item.path)
+                stats.per_file[name] = stats.per_file.get(name, 0) + item.n_reads
                 if item.line_length < k:
                     continue  # no k-mers can come from these reads
                 reads = item.reads

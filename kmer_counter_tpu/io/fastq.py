@@ -40,6 +40,7 @@ class FASTQChunk:
     reads: np.ndarray  # [R, L] uint8 ASCII, zero-padded rows
     n_reads: int
     line_length: int
+    path: str = ""  # source file (set by DirectoryInput; checkpoint manifest)
 
 
 class FASTQReader:
@@ -310,6 +311,7 @@ class DirectoryInput:
                 )
                 chunk = None
             if chunk is not None:
+                chunk.path = self.paths[self._index]
                 return chunk
             self._advance()
         return None

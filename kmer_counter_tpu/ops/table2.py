@@ -377,7 +377,10 @@ def finalize_host(table: TwoLevelTable, k: int):
         # key, so appending keeps the table sorted.
         tk = np.full((1, NL), 0xFFFFFFFF, np.uint32)
         if out_lanes.shape[0] and np.array_equal(out_lanes[-1], tk[0]):
-            raise AssertionError(
+            # A real error type (not assert): this must fire under python -O
+            # too — it means extract_chunk_keys leaked a sentinel-valued key
+            # into the stream and counts would silently double.
+            raise RuntimeError(
                 "all-T key present in the key stream despite the side "
                 "counter: extract_chunk_keys contract violated"
             )

@@ -21,13 +21,17 @@ def test_checkpoint_save_load_roundtrip(tmp_path, rng):
     )
     words, counts = golden.table_from_counter(counter)
     lanes = records.words_to_lanes(words)
-    checkpoint.save(str(tmp_path / "ck"), opts, lanes, counts, reads_absorbed=6)
+    checkpoint.save(
+        str(tmp_path / "ck"), opts, lanes, counts, reads_absorbed=6,
+        files={"a.fastq": 6}, allt=3,
+    )
     out = checkpoint.load(str(tmp_path / "ck"), opts)
     assert out is not None
-    l2, c2, absorbed = out
-    np.testing.assert_array_equal(l2, lanes)
-    np.testing.assert_array_equal(c2, counts)
-    assert absorbed == 6
+    np.testing.assert_array_equal(out.lanes, lanes)
+    np.testing.assert_array_equal(out.counts, counts)
+    assert out.reads_absorbed == 6
+    assert out.files == {"a.fastq": 6}
+    assert out.allt == 3
 
 
 def test_checkpoint_config_mismatch_ignored(tmp_path, rng):
@@ -89,6 +93,89 @@ def test_engine_resume_from_checkpoint(tmp_path, rng):
     want_words, want_counts = golden_dir_table(tmp_path, 15)
     np.testing.assert_array_equal(words, want_words)
     np.testing.assert_array_equal(counts, want_counts)
+
+
+def test_engine_two_level_resume(tmp_path, rng):
+    # Same crash-resume scenario on the two-level table path (the fast
+    # path and checkpointing were mutually exclusive in round 2).
+    (tmp_path / "in").mkdir()
+    seqs_a = random_seqs(rng, 10, 40)
+    seqs_b = random_seqs(rng, 12, 40)
+    write_fastq(tmp_path / "in" / "a.fastq", seqs_a)
+    write_fastq(tmp_path / "in" / "b.fastq", seqs_b)
+    opts = Options(
+        kmer_length=15,
+        input_dir=str(tmp_path / "in"),
+        output_file=str(tmp_path / "out.bin"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        table_impl="two",
+        verbose=0,
+    )
+    counter_a = golden.count_reads(seqs_a, 15)
+    words_a, counts_a = golden.table_from_counter(counter_a)
+    checkpoint.save(
+        str(tmp_path / "ck"), opts,
+        records.words_to_lanes(words_a), counts_a, reads_absorbed=10,
+        files={"a.fastq": 10},
+    )
+    from kmer_counter_tpu.engine import CountEngine
+
+    stats = CountEngine(opts).run()
+    assert stats.reads == 22
+    from kmer_counter_tpu.io.dump import load_table
+
+    words, counts = load_table(str(tmp_path / "out.bin"), 15)
+    want_words, want_counts = golden_dir_table(tmp_path, 15)
+    np.testing.assert_array_equal(words, want_words)
+    np.testing.assert_array_equal(counts, want_counts)
+
+
+def test_engine_two_level_writes_checkpoints(tmp_path, rng):
+    (tmp_path / "in").mkdir()
+    write_fastq(tmp_path / "in" / "a.fastq", random_seqs(rng, 64, 40))
+    ck = tmp_path / "ck"
+    (words, counts), stats = run_engine(
+        tmp_path, 15, reads_per_chunk=4, table_slots=600,
+        checkpoint_dir=str(ck), checkpoint_every=1, table_impl="two",
+    )
+    assert (ck / "checkpoint.json").exists()
+    manifest = json.loads((ck / "checkpoint.json").read_text())
+    assert 0 < manifest["reads_absorbed"] <= 64
+    assert manifest["files"] == {"a.fastq": manifest["reads_absorbed"]}
+    want_words, want_counts = golden_dir_table(tmp_path, 15)
+    np.testing.assert_array_equal(words, want_words)
+    np.testing.assert_array_equal(counts, want_counts)
+
+
+@pytest.mark.parametrize("impl", ["one", "two"])
+def test_engine_resume_detects_ingest_drift(tmp_path, rng, impl):
+    # The checkpoint says 10 reads were absorbed from a.fastq; if a.fastq
+    # has silently changed (here: fewer reads), the positional skip would
+    # misalign — the per-file manifest must catch it.
+    (tmp_path / "in").mkdir()
+    seqs_a = random_seqs(rng, 10, 40)
+    write_fastq(tmp_path / "in" / "a.fastq", seqs_a[:4])  # drifted file
+    write_fastq(tmp_path / "in" / "b.fastq", random_seqs(rng, 12, 40))
+    opts = Options(
+        kmer_length=15,
+        input_dir=str(tmp_path / "in"),
+        output_file=str(tmp_path / "out.bin"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        table_impl=impl,
+        verbose=0,
+    )
+    words_a, counts_a = golden.table_from_counter(
+        golden.count_reads(seqs_a, 15)
+    )
+    checkpoint.save(
+        str(tmp_path / "ck"), opts,
+        records.words_to_lanes(words_a), counts_a, reads_absorbed=10,
+        files={"a.fastq": 10},
+    )
+    from kmer_counter_tpu.engine import CountEngine
+
+    with pytest.raises(RuntimeError, match="resume drift"):
+        CountEngine(opts).run()
 
 
 def test_metrics_and_monitor(capsys):
