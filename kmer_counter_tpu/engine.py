@@ -703,9 +703,66 @@ class MeshCountEngine:
         self.mesh = mesh if mesh is not None else make_mesh(
             opts.mesh_shape[0] if opts.mesh_shape else None
         )
+        self._scheduler = None  # lazy spill-merge scheduler (io.spill)
+
+    def _use_two_level(self) -> bool:
+        from kmer_counter_tpu.ops.sortcount import tpu_backend
+
+        impl = self.opts.table_impl
+        if impl == "one":
+            return False
+        if impl == "two":
+            return True
+        return tpu_backend()
+
+    def _max_slots_per_device(self, NL: int, D: int) -> int:
+        """Per-device HBM slot budget before spilling (the mesh share of
+        CountEngine._max_table_slots_two's global budget)."""
+        if self.opts.table_slots:
+            return max(2 * self.opts.table_slots // D, 1)
+        total = 4 * max(
+            self.opts.memory_limit_bytes // 2 // ((NL + 1) * 4 * 3), 1 << 14
+        )
+        return max(total // D, 1)
+
+    def _spill_counter(self, counter, stats):
+        """Export every local device's consolidated partial table as sorted
+        runs and empty the counter (the mesh form of CountEngine._spill;
+        reference analog: FileDump.cpp:51-58 + the disk merge tree)."""
+        import os
+
+        from kmer_counter_tpu.io import spill as spill_io
+
+        if jax.process_count() > 1:
+            raise MemoryError(
+                "table shards outgrew HBM on a multi-process mesh: per-host "
+                "spill cannot produce a globally merged output without a "
+                "cross-host disk merge — raise tableSlots / gpuMemoryLimit "
+                "or run with more devices"
+            )
+        opts = self.opts
+        if self._scheduler is None:
+            self._scheduler = spill_io.MergeScheduler(
+                opts.temp_dir,
+                opts.kmer_length,
+                fan_in=opts.no_of_mergers_at_once,
+                threads=opts.no_of_merge_threads,
+            )
+        for lanes, counts in counter.local_tables():
+            stats.spilled_runs += 1
+            path = os.path.join(
+                opts.temp_dir, f"spill_{stats.spilled_runs:06d}.run"
+            )
+            self._scheduler.add_run(spill_io.write_run(path, lanes, counts))
+            if opts.verbose:
+                print(f"[engine] spilled {len(counts)} records -> {path}")
+        counter.reset()
 
     def run(self) -> RunStats:
-        from kmer_counter_tpu.parallel.pipeline import ShardedCounter
+        from kmer_counter_tpu.parallel.pipeline import (
+            ShardedCounter,
+            ShardedCounter2,
+        )
 
         opts = self.opts
         k = opts.kmer_length
@@ -753,17 +810,33 @@ class MeshCountEngine:
         # files are column-padded with zero bytes, which the encoder masks
         # invalid — semantically identical to per-length processing, and it
         # keeps the multi-host step a uniform collective.
-        counter = ShardedCounter(
-            self.mesh,
-            k,
-            opts.canonical,
-            table_slots=max(
-                table_slots // D, 4 * reads_per_device * (line_length - k + 1)
-            ),
-            reads_per_device=reads_per_device,
-            line_length=line_length,
-            merge_slack=opts.merge_slack,
+        NL = records.active_lanes(k)
+        per_dev_slots = max(
+            table_slots // D, 4 * reads_per_device * (line_length - k + 1)
         )
+        if self._use_two_level():
+            cp = max(per_dev_slots // 4, 1)
+            counter = ShardedCounter2(
+                self.mesh,
+                k,
+                opts.canonical,
+                prefix_slots=cp,
+                raw_slots=max(per_dev_slots - cp, 1),
+                reads_per_device=reads_per_device,
+                line_length=line_length,
+                merge_slack=opts.merge_slack,
+            )
+        else:
+            counter = ShardedCounter(
+                self.mesh,
+                k,
+                opts.canonical,
+                table_slots=per_dev_slots,
+                reads_per_device=reads_per_device,
+                line_length=line_length,
+                merge_slack=opts.merge_slack,
+            )
+        max_dev_slots = self._max_slots_per_device(NL, D)
 
         # Each process supplies rows for its own devices only; the step
         # assembles the global array from per-process blocks.
@@ -806,6 +879,18 @@ class MeshCountEngine:
                     )
                 return reads
 
+        def maybe_spill():
+            # Pressure valve before a consolidation that would outgrow the
+            # per-device HBM budget (BASELINE.json config 4 at mesh scale).
+            # The trigger is host-mirrored state, so on a multi-process mesh
+            # every process reaches the same decision in lockstep.
+            if (
+                opts.temp_dir
+                and counter.pending_consolidation()
+                and counter.occupied_bound() > max_dev_slots
+            ):
+                self._spill_counter(counter, stats)
+
         if multi_process:
             from jax.experimental import multihost_utils
 
@@ -820,6 +905,7 @@ class MeshCountEngine:
                 )
                 if not bool(np.any(anyone)):
                     break
+                maybe_spill()
                 counter.step(reads if reads is not None else empty)
                 if reads is not None:
                     stats.chunks += 1
@@ -828,9 +914,42 @@ class MeshCountEngine:
                 reads = next_local_chunk()
                 if reads is None:
                     break
+                maybe_spill()
                 counter.step(reads)
                 stats.chunks += 1
         ingest.join()
+
+        # The all-T side count (two-level tables, k % 16 == 0, forward):
+        # the T^k key is the maximum possible key, so it always lands at
+        # the very end of the globally sorted output.
+        allt = counter.allt_total()
+        allt_lanes = np.full((1, records.active_lanes(k)), 0xFFFFFFFF, np.uint32)
+        allt_counts = np.asarray([min(allt, 0xFFFFFFFF)], np.uint32)
+
+        if self._scheduler is not None:
+            # Spills happened: the final local tables join the runs and the
+            # hierarchical host merge produces the sorted output.
+            import os
+
+            from kmer_counter_tpu.io import spill as spill_io
+
+            for lanes, counts in counter.local_tables():
+                stats.spilled_runs += 1
+                path = os.path.join(
+                    opts.temp_dir, f"spill_{stats.spilled_runs:06d}.run"
+                )
+                self._scheduler.add_run(spill_io.write_run(path, lanes, counts))
+            written = self._scheduler.finish(opts.output_file)
+            self._scheduler = None
+            if allt:
+                written += dump_table(
+                    opts.output_file, allt_lanes, allt_counts, append=True
+                )
+            stats.distinct_kmers = written
+            _, counts_all = load_table(opts.output_file, k)
+            stats.total_kmers = int(counts_all.sum())
+            stats.wall_seconds = time.perf_counter() - t_start
+            return stats
 
         if multi_process:
             # Multi-host: every process dumps only its addressable key
@@ -841,8 +960,11 @@ class MeshCountEngine:
             written = 0
             for pos, lanes, counts in counter.finalize_local():
                 part = f"{opts.output_file}.part{pos:05d}"
-                dump_table(part, lanes, counts)
-                written += len(counts)
+                n = dump_table(part, lanes, counts)
+                if allt and pos == D - 1:
+                    # T^k (max key) belongs at the very end of the last range.
+                    n += dump_table(part, allt_lanes, allt_counts, append=True)
+                written += n
             manifest = f"{opts.output_file}.manifest.{jax.process_index()}.json"
             with open(manifest, "w") as fh:
                 json.dump(
@@ -859,20 +981,19 @@ class MeshCountEngine:
             return stats
 
         lanes, counts = counter.finalize()
-        words = records.lanes_to_words(lanes)
+        counts = np.asarray(counts, np.uint32)
+        if allt:
+            if lanes.shape[0] and np.array_equal(lanes[-1], allt_lanes[0]):
+                raise RuntimeError(
+                    "all-T key present in the key stream despite the side "
+                    "counter: extract_chunk_keys contract violated"
+                )
+            lanes = np.concatenate([lanes, allt_lanes])
+            counts = np.concatenate([counts, allt_counts])
 
-        stats.distinct_kmers = len(words)
+        stats.distinct_kmers = len(counts)
         stats.total_kmers = int(counts.sum())
-        from kmer_counter_tpu.records import serialize_table
-
-        data = serialize_table(words, np.asarray(counts, np.uint32))
-        import os
-
-        parent = os.path.dirname(opts.output_file)
-        if parent:
-            os.makedirs(parent, exist_ok=True)
-        with open(opts.output_file, "wb") as fh:
-            fh.write(data)
+        dump_table(opts.output_file, lanes, counts)
         stats.wall_seconds = time.perf_counter() - t_start
         if opts.verbose:
             print(

@@ -29,6 +29,29 @@ from kmer_counter_tpu.parallel.mesh import DATA_AXIS
 from kmer_counter_tpu.parallel.shuffle import route_merge_local
 
 
+def _global_max_int(x: int) -> int:
+    """Max of a per-process int across all processes (identity when
+    single-process) — post-consolidation bounds gate the next collective,
+    so every process must agree on them."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return int(
+            np.max(multihost_utils.process_allgather(np.array([x], np.int32)))
+        )
+    return x
+
+
+def _global_sum_int(x: int) -> int:
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return int(
+            np.sum(multihost_utils.process_allgather(np.array([x], np.int64)))
+        )
+    return x
+
+
 class ShardedCounter:
     """Device-sharded count table with a chunked update step.
 
@@ -256,16 +279,16 @@ class ShardedCounter:
 
         The result is globally sorted because the routing is monotonic in
         the key and devices are concatenated in mesh order.
+
+        Key-space skew beyond ``merge_slack`` is handled, not fatal: the
+        routing step is not donated, so on detected bucket overflow the
+        merge re-runs with doubled bucket capacity until it fits
+        (cap == table_slots always fits: a device can receive at most
+        every record of every table).  The reference's analog pressure
+        point is the merge tree's unbounded intermediate files
+        (KMerFileMergeHandler.cpp:49-100).
         """
-        lanes, counts, nuniq, overflow = self._finalize(
-            self.lanes, self.counts, self.offsets
-        )
-        overflow = int(np.max(jax.device_get(overflow)))
-        if overflow > 0:
-            raise MemoryError(
-                f"merge bucket overflow by {overflow} records: key-space "
-                "skew exceeded merge_slack; retry with higher slack"
-            )
+        lanes, counts, nuniq, overflow = self._route_with_retry()
         nuniq = np.asarray(jax.device_get(nuniq))
         lanes = np.asarray(jax.device_get(lanes))  # [NL, D * block]
         counts = np.asarray(jax.device_get(counts))
@@ -277,6 +300,32 @@ class ShardedCounter:
             parts_c.append(counts[d * block : d * block + u])
         return np.concatenate(parts_l), np.concatenate(parts_c)
 
+    def _route_with_retry(self):
+        """Run the finalize routing, doubling the per-destination bucket
+        capacity on detected overflow (the state is not donated, so a
+        retry sees it intact).  Every process observes the same global-max
+        overflow flag, so mesh-wide rebuild/retry stays in lockstep."""
+        while True:
+            lanes, counts, nuniq, overflow = self._finalize(
+                self.lanes, self.counts, self.offsets
+            )
+            local_over = max(
+                (
+                    int(np.asarray(s.data)[0])
+                    for s in overflow.addressable_shards
+                ),
+                default=0,
+            )
+            if _global_max_int(local_over) == 0:
+                return lanes, counts, nuniq, overflow
+            if self.bucket_cap >= self.table_slots:
+                raise MemoryError(
+                    "merge bucket overflow at maximum capacity: "
+                    "inconsistent table state"
+                )
+            self.bucket_cap = min(self.bucket_cap * 2, self.table_slots)
+            self._finalize = self._build_finalize()
+
     def finalize_local(self) -> list[tuple[int, np.ndarray, np.ndarray]]:
         """Multi-host variant of finalize(): merge across the mesh, then
         return only this process's addressable range tables as
@@ -286,13 +335,8 @@ class ShardedCounter:
         position); concatenating all parts in mesh-position order yields
         exactly the globally sorted table, with no cross-host gather.
         """
-        lanes, counts, nuniq, overflow = self._finalize(
-            self.lanes, self.counts, self.offsets
-        )
+        lanes, counts, nuniq, overflow = self._route_with_retry()
         block = self.D * self.bucket_cap
-        for shard in overflow.addressable_shards:
-            if int(np.asarray(shard.data)[0]) > 0:
-                raise MemoryError("merge bucket overflow; raise merge_slack")
         nuniq_by_pos = {}
         for shard in nuniq.addressable_shards:
             pos = shard.index[0].start or 0
@@ -312,3 +356,443 @@ class ShardedCounter:
                 (pos, lanes_by_pos[pos][:, :u].T, counts_by_pos[pos][:u])
             )
         return out
+
+    def local_tables(self) -> list[tuple[np.ndarray, np.ndarray]]:
+        """This process's per-device consolidated partial tables as
+        (keys [U, NL] row-major, counts [U]) sorted runs — the spill
+        export (no collective)."""
+        self.consolidate()
+        out = []
+        block = self.table_slots
+        counts_by_pos = {
+            (s.index[0].start or 0) // block: np.asarray(s.data)
+            for s in self.counts.addressable_shards
+        }
+        lanes_by_pos = {
+            (s.index[1].start or 0) // block: np.asarray(s.data)
+            for s in self.lanes.addressable_shards
+        }
+        for pos in sorted(counts_by_pos):
+            c = counts_by_pos[pos]
+            keep = c > 0
+            out.append((lanes_by_pos[pos][:, keep].T, c[keep]))
+        return out
+
+    def reset(self):
+        """Empty the table (post-spill restart), keeping buffers."""
+
+        def local_zero(counts, offsets):
+            return jnp.zeros_like(counts), jnp.zeros_like(offsets)
+
+        fn = shard_map(
+            local_zero,
+            mesh=self.mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        )
+        self.counts, self.offsets = jax.jit(fn, donate_argnums=(0, 1))(
+            self.counts, self.offsets
+        )
+        self.host_bound = 0
+
+    def allt_total(self) -> int:
+        """One-level tables carry the all-T key in-band (counts move with
+        keys, so no sentinel ambiguity): nothing out of band."""
+        return 0
+
+    def pending_consolidation(self) -> bool:
+        """True when the next step() will consolidate first."""
+        return self.host_bound + self.chunk_slots > self.table_slots
+
+    def occupied_bound(self) -> int:
+        """Upper bound on live records per device (host-mirrored, so every
+        process computes the same value — safe to gate collectives on)."""
+        return self.host_bound
+
+
+class ShardedCounter2:
+    """Two-level device-sharded count table (the mesh form of ops.table2).
+
+    Each device owns a keys-only raw region (sentinel-encoded, no count
+    operand moves through the dedup sort) plus a consolidated sorted
+    prefix; consolidation runs ops.table2.consolidate3 *inside*
+    ``shard_map`` — the Pallas merge-path kernel on TPU, the pure-lax
+    consolidate2 fallback elsewhere — so the single-chip fast path and the
+    mesh path are the same code.  Finalize keeps ShardedCounter's
+    prefix-routed all_to_all (the reference's disk merge tree,
+    KMerFileMergeHandler.cpp:49-100, collapsed into one collective), with
+    bucket-overflow retry instead of a fatal error.
+
+    Host-facing contract: the raw offset is host-mirrored exactly (appends
+    advance by the static chunk width; consolidation resets to 0), and the
+    live prefix bound is the global max over devices after each
+    consolidation.  The all-T side count (k % 16 == 0, forward mode — the
+    key that is bit-identical to the sentinel, see ops.table2) accumulates
+    per device and is summed at finalize; callers re-materialize the T^k
+    record at the very end of the dump.
+    """
+
+    def __init__(
+        self,
+        mesh,
+        k: int,
+        canonical: bool,
+        prefix_slots: int,
+        raw_slots: int,
+        reads_per_device: int,
+        line_length: int,
+        merge_slack: float = 4.0,
+    ):
+        from kmer_counter_tpu.ops.sortcount import tpu_backend
+        from kmer_counter_tpu.records import active_lanes
+
+        self.mesh = mesh
+        self.k = k
+        self.canonical = canonical
+        self.D = mesh.devices.size
+        self.reads_per_device = reads_per_device
+        self.line_length = line_length
+        self._merge_slack = merge_slack
+        self.chunk_slots = reads_per_device * (line_length - k + 1)
+        if self.chunk_slots <= 0:
+            raise ValueError("line_length shorter than k")
+        if tpu_backend():
+            from kmer_counter_tpu.ops.pallas_sort import TILE
+
+            self._grain = TILE
+        else:
+            self._grain = 1
+        g = self._grain
+        self.CP = -(-max(prefix_slots, 1) // g) * g
+        self.CR = -(-max(raw_slots, self.chunk_slots) // g) * g
+        self.NL = active_lanes(k)
+        self.bucket_cap = int(
+            min(self.CP, max(self.CP * merge_slack / self.D, 1))
+        )
+        self.raw_bound = 0   # raw slots in use (host-mirrored, exact)
+        self.live_bound = 0  # live prefix rows (global max, exact)
+
+        def zeros(shape, dtype, spec):
+            return jax.jit(
+                lambda: jnp.zeros(shape, dtype),
+                out_shardings=NamedSharding(self.mesh, spec),
+            )()
+
+        D = self.D
+        self.prefix_lanes = zeros(
+            (self.NL, D * self.CP), jnp.uint32, P(None, DATA_AXIS)
+        )
+        self.prefix_counts = zeros((D * self.CP,), jnp.uint32, P(DATA_AXIS))
+        self.raw_lanes = zeros(
+            (self.NL, D * self.CR), jnp.uint32, P(None, DATA_AXIS)
+        )
+        self.raw_off = zeros((D,), jnp.int32, P(DATA_AXIS))
+        self.allt = zeros((D,), jnp.uint32, P(DATA_AXIS))
+
+        self._step = self._build_step()
+        self._consolidate = self._build_consolidate()
+        self._route = self._build_route()
+
+    # ---- jitted programs -------------------------------------------------
+
+    def _build_step(self):
+        from kmer_counter_tpu.ops.pipeline import extract_chunk_keys
+
+        k, canonical = self.k, self.canonical
+
+        def local_step(raw_lanes, raw_off, allt, reads):
+            lanes, chunk_allt = extract_chunk_keys(reads, k, canonical)
+            raw = jax.lax.dynamic_update_slice(
+                raw_lanes, lanes, (jnp.int32(0), raw_off[0])
+            )
+            return (
+                raw,
+                raw_off + jnp.int32(lanes.shape[1]),
+                allt + chunk_allt[None],
+            )
+
+        fn = shard_map(
+            local_step,
+            mesh=self.mesh,
+            in_specs=(
+                P(None, DATA_AXIS),
+                P(DATA_AXIS),
+                P(DATA_AXIS),
+                P(DATA_AXIS),
+            ),
+            out_specs=(P(None, DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        )
+        return jax.jit(fn, donate_argnums=(0, 1, 2))
+
+    def _build_consolidate(self):
+        from kmer_counter_tpu.ops import table2 as t2
+
+        def local_consolidate(p_lanes, p_counts, raw_lanes, raw_off):
+            table = t2.TwoLevelTable(
+                p_lanes, p_counts, raw_lanes, raw_off[0], jnp.uint32(0)
+            )
+            out, live, lost = t2.consolidate3(table)
+            return (
+                out.prefix_lanes,
+                out.prefix_counts,
+                out.raw_lanes,
+                jnp.zeros_like(raw_off),
+                live[None].astype(jnp.int32),
+                lost[None].astype(jnp.int32),
+            )
+
+        fn = shard_map(
+            local_consolidate,
+            mesh=self.mesh,
+            in_specs=(
+                P(None, DATA_AXIS),
+                P(DATA_AXIS),
+                P(None, DATA_AXIS),
+                P(DATA_AXIS),
+            ),
+            out_specs=(
+                P(None, DATA_AXIS),
+                P(DATA_AXIS),
+                P(None, DATA_AXIS),
+                P(DATA_AXIS),
+                P(DATA_AXIS),
+                P(DATA_AXIS),
+            ),
+        )
+        return jax.jit(fn, donate_argnums=(0, 1, 2, 3))
+
+    def _build_route(self):
+        D, cap = self.D, self.bucket_cap
+
+        def local_route(lanes, counts):
+            out_lanes, out_counts, num_unique, overflow = route_merge_local(
+                lanes, counts, DATA_AXIS, D, cap
+            )
+            return (
+                out_lanes,
+                out_counts,
+                num_unique[None].astype(jnp.int32),
+                overflow[None].astype(jnp.int32),
+            )
+
+        fn = shard_map(
+            local_route,
+            mesh=self.mesh,
+            in_specs=(P(None, DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(
+                P(None, DATA_AXIS),
+                P(DATA_AXIS),
+                P(DATA_AXIS),
+                P(DATA_AXIS),
+            ),
+        )
+        return jax.jit(fn)
+
+    def _grow_prefix(self, new_cp: int):
+        """Device-side prefix growth (works on any mesh, multi-process
+        included — no host gather of non-addressable shards)."""
+        new_cp = -(-new_cp // self._grain) * self._grain
+        NL, CP = self.NL, self.CP
+
+        def local_grow(p_lanes, p_counts):
+            pl = jnp.zeros((NL, new_cp), jnp.uint32)
+            pl = jax.lax.dynamic_update_slice(pl, p_lanes, (0, 0))
+            pc = jnp.zeros((new_cp,), jnp.uint32)
+            pc = jax.lax.dynamic_update_slice(pc, p_counts, (0,))
+            return pl, pc
+
+        fn = shard_map(
+            local_grow,
+            mesh=self.mesh,
+            in_specs=(P(None, DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(None, DATA_AXIS), P(DATA_AXIS)),
+        )
+        self.prefix_lanes, self.prefix_counts = jax.jit(
+            fn, donate_argnums=(0, 1)
+        )(self.prefix_lanes, self.prefix_counts)
+        self.CP = new_cp
+        self.bucket_cap = int(
+            min(self.CP, max(self.CP * self._merge_slack / self.D, 1))
+        )
+        # Shapes changed: rebuild the shape-bound programs.
+        self._consolidate = self._build_consolidate()
+        self._route = self._build_route()
+
+    # ---- host-facing API -------------------------------------------------
+
+    def step(self, reads: np.ndarray):
+        """Process one global chunk of shape [D*reads_per_device, L]."""
+        if self.raw_bound + self.chunk_slots > self.CR:
+            self.consolidate()
+        sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        if jax.process_count() > 1:
+            global_shape = (
+                reads.shape[0] * jax.process_count(),
+                reads.shape[1],
+            )
+            dev_reads = jax.make_array_from_process_local_data(
+                sharding, reads, global_shape
+            )
+        else:
+            dev_reads = jax.device_put(reads, sharding)
+        self.raw_lanes, self.raw_off, self.allt = self._step(
+            self.raw_lanes, self.raw_off, self.allt, dev_reads
+        )
+        self.raw_bound += self.chunk_slots
+
+    def consolidate(self):
+        """Merge every device's raw region into its prefix.  Pre-grows the
+        prefix so truncation is impossible (live + raw bounds the distinct
+        keys a consolidation can produce)."""
+        if self.live_bound + self.raw_bound > self.CP:
+            self._grow_prefix(self.live_bound + self.raw_bound)
+        (
+            self.prefix_lanes,
+            self.prefix_counts,
+            self.raw_lanes,
+            self.raw_off,
+            live,
+            lost,
+        ) = self._consolidate(
+            self.prefix_lanes, self.prefix_counts, self.raw_lanes, self.raw_off
+        )
+        local_live = max(
+            (int(np.asarray(s.data)[0]) for s in live.addressable_shards),
+            default=0,
+        )
+        local_lost = max(
+            (int(np.asarray(s.data)[0]) for s in lost.addressable_shards),
+            default=0,
+        )
+        if _global_max_int(local_lost) > 0:
+            raise RuntimeError(
+                "mesh consolidation truncated live records: prefix "
+                "pre-grow invariant violated"
+            )
+        self.live_bound = _global_max_int(local_live)
+        self.raw_bound = 0
+
+    def allt_total(self) -> int:
+        """Global sum of the per-device all-T side counters."""
+        local = sum(
+            int(np.asarray(s.data)[0]) for s in self.allt.addressable_shards
+        )
+        return _global_sum_int(local)
+
+    def pending_consolidation(self) -> bool:
+        """True when the next step() will consolidate first."""
+        return self.raw_bound + self.chunk_slots > self.CR
+
+    def occupied_bound(self) -> int:
+        """Upper bound on live records per device (host-mirrored, so every
+        process computes the same value — safe to gate collectives on)."""
+        return self.live_bound + self.raw_bound
+
+    def _route_with_retry(self):
+        if self.raw_bound > 0:
+            self.consolidate()
+        while True:
+            lanes, counts, nuniq, overflow = self._route(
+                self.prefix_lanes, self.prefix_counts
+            )
+            local_over = max(
+                (
+                    int(np.asarray(s.data)[0])
+                    for s in overflow.addressable_shards
+                ),
+                default=0,
+            )
+            if _global_max_int(local_over) == 0:
+                return lanes, counts, nuniq
+            if self.bucket_cap >= self.CP:
+                raise MemoryError(
+                    "merge bucket overflow at maximum capacity: "
+                    "inconsistent table state"
+                )
+            self.bucket_cap = min(self.bucket_cap * 2, self.CP)
+            self._route = self._build_route()
+
+    def finalize(self) -> tuple[np.ndarray, np.ndarray]:
+        """Cross-device prefix-routed merge; returns (keys [U, NL]
+        row-major, counts [U]), globally sorted.  The all-T side count is
+        NOT included — callers append the T^k record via allt_total()."""
+        lanes, counts, nuniq = self._route_with_retry()
+        nuniq = np.asarray(jax.device_get(nuniq))
+        lanes = np.asarray(jax.device_get(lanes))
+        counts = np.asarray(jax.device_get(counts))
+        block = self.D * self.bucket_cap
+        parts_l, parts_c = [], []
+        for d in range(self.D):
+            u = int(nuniq[d])
+            parts_l.append(lanes[:, d * block : d * block + u].T)
+            parts_c.append(counts[d * block : d * block + u])
+        return np.concatenate(parts_l), np.concatenate(parts_c)
+
+    def finalize_local(self) -> list[tuple[int, np.ndarray, np.ndarray]]:
+        """Multi-host finalize: (mesh_position, keys [U, NL] row-major,
+        counts [U]) for this process's addressable ranges only (see
+        ShardedCounter.finalize_local)."""
+        lanes, counts, nuniq = self._route_with_retry()
+        block = self.D * self.bucket_cap
+        nuniq_by_pos = {
+            (s.index[0].start or 0): int(np.asarray(s.data)[0])
+            for s in nuniq.addressable_shards
+        }
+        counts_by_pos = {
+            (s.index[0].start or 0) // block: np.asarray(s.data)
+            for s in counts.addressable_shards
+        }
+        lanes_by_pos = {
+            (s.index[1].start or 0) // block: np.asarray(s.data)
+            for s in lanes.addressable_shards
+        }
+        out = []
+        for pos in sorted(counts_by_pos):
+            u = nuniq_by_pos[pos]
+            out.append(
+                (pos, lanes_by_pos[pos][:, :u].T, counts_by_pos[pos][:u])
+            )
+        return out
+
+    def local_tables(self) -> list[tuple[np.ndarray, np.ndarray]]:
+        """This process's per-device consolidated partial tables as
+        (keys [U, NL] row-major, counts [U]) sorted runs — the spill
+        export (no collective; each device's prefix is already a sorted
+        run with live rows dense at the front)."""
+        if self.raw_bound > 0:
+            self.consolidate()
+        out = []
+        counts_by_pos = {
+            (s.index[0].start or 0) // self.CP: np.asarray(s.data)
+            for s in self.prefix_counts.addressable_shards
+        }
+        lanes_by_pos = {
+            (s.index[1].start or 0) // self.CP: np.asarray(s.data)
+            for s in self.prefix_lanes.addressable_shards
+        }
+        for pos in sorted(counts_by_pos):
+            c = counts_by_pos[pos]
+            keep = c > 0
+            out.append((lanes_by_pos[pos][:, keep].T, c[keep]))
+        return out
+
+    def reset(self):
+        """Empty the table (post-spill restart), keeping buffers and the
+        accumulated all-T side count.  Zeroing the counts and the raw
+        offset suffices: every consumer gates prefix rows on count > 0 and
+        raw rows on position < raw_off."""
+
+        def local_zero(p_counts, raw_off):
+            return jnp.zeros_like(p_counts), jnp.zeros_like(raw_off)
+
+        fn = shard_map(
+            local_zero,
+            mesh=self.mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        )
+        self.prefix_counts, self.raw_off = jax.jit(fn, donate_argnums=(0, 1))(
+            self.prefix_counts, self.raw_off
+        )
+        self.raw_bound = 0
+        self.live_bound = 0

@@ -47,3 +47,99 @@ def test_mesh_engine_multi_file_mixed_lengths(tmp_path, rng):
     np.testing.assert_array_equal(words, want_words)
     np.testing.assert_array_equal(counts, want_counts)
     assert stats.reads == 55
+
+
+def test_mesh_engine_two_level_matches_golden(tmp_path, rng):
+    """The two-level (keys-only raw + consolidate3) path on the mesh."""
+    (tmp_path / "in").mkdir()
+    write_fastq(tmp_path / "in" / "a.fastq", random_seqs(rng, 120, 60))
+    (words, counts), stats = run_mesh_engine(
+        tmp_path, 31, canonical=True, reads_per_chunk=32, table_impl="two"
+    )
+    want_words, want_counts = golden_dir_table(tmp_path, 31, canonical=True)
+    np.testing.assert_array_equal(words, want_words)
+    np.testing.assert_array_equal(counts, want_counts)
+    assert stats.reads == 120
+
+
+def test_mesh_engine_two_level_consolidates(tmp_path, rng):
+    """Small raw region forces mid-run consolidations on every device."""
+    (tmp_path / "in").mkdir()
+    write_fastq(tmp_path / "in" / "a.fastq", random_seqs(rng, 256, 40))
+    (words, counts), stats = run_mesh_engine(
+        tmp_path,
+        15,
+        reads_per_chunk=32,
+        table_impl="two",
+        table_slots=3000,  # per-mesh budget -> tiny per-device raw region
+    )
+    want_words, want_counts = golden_dir_table(tmp_path, 15)
+    np.testing.assert_array_equal(words, want_words)
+    np.testing.assert_array_equal(counts, want_counts)
+
+
+def test_mesh_engine_two_level_allt_side_count(tmp_path):
+    """k=16 forward: all-T k-mers are bit-identical to the sentinel and
+    must come back via the side counter as the final record."""
+    (tmp_path / "in").mkdir()
+    seqs = ["T" * 40, "T" * 40, ("ACGT" * 10)]
+    write_fastq(tmp_path / "in" / "a.fastq", seqs)
+    (words, counts), stats = run_mesh_engine(
+        tmp_path, 16, canonical=False, reads_per_chunk=8, table_impl="two"
+    )
+    want_words, want_counts = golden_dir_table(tmp_path, 16, canonical=False)
+    np.testing.assert_array_equal(words, want_words)
+    np.testing.assert_array_equal(counts, want_counts)
+    # the T^16 record is the maximum key: last row, count 2*(40-16+1)
+    assert words[-1, 0] == np.uint64(0xFFFFFFFF00000000)
+    assert counts[-1] == 2 * 25
+
+
+def test_mesh_engine_skewed_keys_overflow_retry(tmp_path):
+    """Adversarial skew: every k-mer shares one 16-bit prefix, so a single
+    device owns the whole key space.  merge_slack=1/8 underprovisions the
+    buckets; the finalize must retry with doubled capacity, not raise."""
+    (tmp_path / "in").mkdir()
+    rng = np.random.default_rng(7)
+    # Reads starting with AAAAAAAA...: the leading 8 bases pin the 16-bit
+    # prefix of every window that starts at position 0; to pin *all*
+    # windows, make the whole read low-complexity: only A and C, so
+    # lane0's top bits stay in a narrow band owned by device 0.
+    chars = np.frombuffer(b"AC", dtype=np.uint8)
+    reads = chars[rng.integers(0, 2, size=(96, 40))]
+    seqs = ["".join(map(chr, r)) for r in reads]
+    write_fastq(tmp_path / "in" / "a.fastq", seqs)
+    for impl in ("one", "two"):
+        (words, counts), stats = run_mesh_engine(
+            tmp_path,
+            15,
+            reads_per_chunk=16,
+            table_impl=impl,
+            table_slots=3000,  # small buckets: cap ~6 vs ~150 skewed records
+            merge_slack=0.125,
+        )
+        want_words, want_counts = golden_dir_table(tmp_path, 15)
+        np.testing.assert_array_equal(words, want_words)
+        np.testing.assert_array_equal(counts, want_counts)
+
+
+def test_mesh_engine_spill_to_disk(tmp_path, rng):
+    """Cardinality outgrows a tiny per-device budget: the engine spills
+    consolidated shard runs to temp_dir and merges them into the output
+    (the mesh form of BASELINE.json config 4)."""
+    (tmp_path / "in").mkdir()
+    (tmp_path / "tmp").mkdir()
+    write_fastq(tmp_path / "in" / "a.fastq", random_seqs(rng, 512, 40))
+    for impl in ("one", "two"):
+        (words, counts), stats = run_mesh_engine(
+            tmp_path,
+            15,
+            reads_per_chunk=64,
+            table_impl=impl,
+            table_slots=3000,
+            temp_dir=str(tmp_path / "tmp"),
+        )
+        want_words, want_counts = golden_dir_table(tmp_path, 15)
+        assert stats.spilled_runs > 0, f"spill path not exercised ({impl})"
+        np.testing.assert_array_equal(words, want_words)
+        np.testing.assert_array_equal(counts, want_counts)
