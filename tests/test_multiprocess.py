@@ -1,0 +1,103 @@
+"""Real multi-process mesh run: 2 jax.distributed CPU processes.
+
+Spawns two subprocesses that form one 8-device mesh (4 virtual CPU
+devices each) and run MeshCountEngine end-to-end; the per-range ``.part``
+files they dump are concatenated in name order and byte-compared against
+the golden model.  This executes the process_count()>1 branches no
+in-process test can reach: the lockstep chunk allgather, the per-process
+block assembly of the sharded reads array, the cross-process all_to_all
+merge, and the finalize_local part/manifest protocol.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.test_engine import golden_dir_table
+from tests.test_ingest import random_seqs, write_fastq
+
+_WORKER = os.path.join(os.path.dirname(__file__), "multiproc_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _run_workers(tmp_path, impl: str, k: int):
+    out = str(tmp_path / f"out_{impl}.bin")
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # the worker forces cpu itself
+    env.pop("XLA_FLAGS", None)  # conftest's 8-device flag; worker sets 4
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(_WORKER))
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                _WORKER,
+                str(pid),
+                "2",
+                str(port),
+                str(tmp_path / "in"),
+                out,
+                impl,
+                str(k),
+            ],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"multi-process worker timed out; partial: {logs}")
+        logs.append(stdout)
+        assert p.returncode == 0, f"worker failed:\n{stdout}"
+    # Assemble: parts in name order are the globally sorted table.
+    parts = sorted(
+        str(tmp_path / f) for f in os.listdir(tmp_path) if f.startswith(
+            os.path.basename(out) + ".part"
+        )
+    )
+    assert parts, f"no part files dumped; logs: {logs}"
+    data = b"".join(open(p, "rb").read() for p in parts)
+    merged = str(tmp_path / f"merged_{impl}.bin")
+    with open(merged, "wb") as fh:
+        fh.write(data)
+    manifests = [
+        f for f in os.listdir(tmp_path) if ".manifest." in f
+    ]
+    assert len(manifests) == 2, manifests
+    return merged
+
+
+@pytest.mark.parametrize("impl", ["one", "two"])
+def test_two_process_mesh_matches_golden(tmp_path, impl):
+    rng = np.random.default_rng(3)
+    (tmp_path / "in").mkdir()
+    # 4 files so the round-robin file shard gives both processes data.
+    for i in range(4):
+        write_fastq(
+            tmp_path / "in" / f"f{i}.fastq", random_seqs(rng, 40, 60)
+        )
+    k = 31
+    merged = _run_workers(tmp_path, impl, k)
+    from kmer_counter_tpu.io.dump import load_table
+
+    words, counts = load_table(merged, k)
+    want_words, want_counts = golden_dir_table(tmp_path, k, canonical=True)
+    np.testing.assert_array_equal(words, want_words)
+    np.testing.assert_array_equal(counts, want_counts)
