@@ -40,6 +40,32 @@ def jnp_int32(x: int):
 _SENTINEL = object()
 
 
+def _start_monitor(opts: Options, stats: RunStats, gauge_extra=None):
+    """SizeMonitor under verbose>=2 (the reference's 1 Hz hashtable-size
+    monitor thread, KMerCounter.cpp:92-96); a no-op context otherwise."""
+    import contextlib
+
+    if opts.verbose < 2:
+        return contextlib.nullcontext()
+    from kmer_counter_tpu.metrics import SizeMonitor
+
+    def gauge():
+        extra = f" {gauge_extra()}" if gauge_extra else ""
+        return (
+            f"reads={stats.reads} chunks={stats.chunks} "
+            f"consolidations={stats.consolidations} "
+            f"spills={stats.spilled_runs}{extra}"
+        )
+
+    return SizeMonitor(gauge)
+
+
+def _finish_metrics(opts: Options, stats: RunStats, metrics) -> None:
+    stats.metrics = metrics.snapshot()
+    if opts.verbose:
+        print(f"[metrics] {metrics.report()}")
+
+
 def _file_key(path: str) -> str:
     """Checkpoint-manifest key for a source file (stable across absolute/
     relative invocation differences)."""
@@ -62,6 +88,10 @@ class RunStats:
     ingest_seconds: float = 0.0
     wall_seconds: float = 0.0
     per_file: dict = field(default_factory=dict)
+    # Metrics.snapshot() of the run: stage timers (host dispatch/drain
+    # time) + counters — the structured observability SURVEY.md §5 calls
+    # for (the reference has printf spam and a 1 Hz size monitor only).
+    metrics: dict = field(default_factory=dict)
 
     @property
     def kmers_per_second(self) -> float:
@@ -196,6 +226,7 @@ class CountEngine:
         appends at host-mirrored static offsets, Pallas-merge consolidation
         (consolidate3).  The prefix region is pre-grown so a consolidation
         can never truncate (lost is asserted 0)."""
+        from kmer_counter_tpu.metrics import Metrics
         from kmer_counter_tpu.ops import table2 as t2
         from kmer_counter_tpu.ops.pipeline import extract_chunk_keys
         from kmer_counter_tpu.ops.pallas_sort import TILE
@@ -203,6 +234,7 @@ class CountEngine:
         opts = self.opts
         k = opts.kmer_length
         stats = RunStats()
+        metrics = Metrics()
         t_start = time.perf_counter()
 
         source = DirectoryInput(opts.input_dir)
@@ -296,8 +328,9 @@ class CountEngine:
                     print(f"[engine] growing prefix to {new_cp} slots")
                 table = t2.grow2(table, new_cp, cr)
                 cp = new_cp
-            table, live, lost = t2.consolidate3(table)
-            live_bound = int(jax.device_get(live))
+            with metrics.timer("consolidate"):
+                table, live, lost = t2.consolidate3(table)
+                live_bound = int(jax.device_get(live))
             lost_n = int(jax.device_get(lost))
             if lost_n:
                 raise RuntimeError(
@@ -351,45 +384,53 @@ class CountEngine:
 
         cur_L = line_length
         cur_slots = reads_per_chunk * (cur_L - k + 1)
-        while True:
-            item = chunk_q.get()
-            if item is _SENTINEL:
-                break
-            if isinstance(item, Exception):
-                raise item
-            name = _file_key(item.path)
-            if item.line_length < k:
+        with _start_monitor(
+            opts, stats, lambda: f"raw={raw_bound}/{cr} live={live_bound}/{cp}"
+        ):
+            while True:
+                item = chunk_q.get()
+                if item is _SENTINEL:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                name = _file_key(item.path)
+                if item.line_length < k:
+                    stats.reads += item.n_reads
+                    stats.bases += item.n_reads * item.line_length
+                    stats.per_file[name] = stats.per_file.get(name, 0) + item.n_reads
+                    continue
+                if item.line_length != cur_L:
+                    cur_L = item.line_length
+                    cur_slots = reads_per_chunk * (cur_L - k + 1)
+                reads = item.reads
+                if reads.shape[0] < reads_per_chunk:
+                    pad = np.zeros(
+                        (reads_per_chunk - reads.shape[0], reads.shape[1]),
+                        dtype=np.uint8,
+                    )
+                    reads = np.vstack([reads, pad])
+                if raw_bound + cur_slots > cr:
+                    table, cp, cr = consolidate(table, cp, cr)
+                    raw_bound = 0
+                with metrics.timer("dispatch"):
+                    # Host enqueue time (extract + append run async on
+                    # device; device time shows up in the consolidate /
+                    # finalize drains).
+                    dev_reads = jax.device_put(reads, self.device)
+                    lanes, allt = extract_chunk_keys(dev_reads, k, opts.canonical)
+                    table = t2.append_raw_at(table, lanes, allt, raw_bound)
+                raw_bound += cur_slots
+                stats.chunks += 1
                 stats.reads += item.n_reads
                 stats.bases += item.n_reads * item.line_length
                 stats.per_file[name] = stats.per_file.get(name, 0) + item.n_reads
-                continue
-            if item.line_length != cur_L:
-                cur_L = item.line_length
-                cur_slots = reads_per_chunk * (cur_L - k + 1)
-            reads = item.reads
-            if reads.shape[0] < reads_per_chunk:
-                pad = np.zeros(
-                    (reads_per_chunk - reads.shape[0], reads.shape[1]),
-                    dtype=np.uint8,
-                )
-                reads = np.vstack([reads, pad])
-            if raw_bound + cur_slots > cr:
-                table, cp, cr = consolidate(table, cp, cr)
-                raw_bound = 0
-            dev_reads = jax.device_put(reads, self.device)
-            lanes, allt = extract_chunk_keys(dev_reads, k, opts.canonical)
-            table = t2.append_raw_at(table, lanes, allt, raw_bound)
-            raw_bound += cur_slots
-            stats.chunks += 1
-            stats.reads += item.n_reads
-            stats.bases += item.n_reads * item.line_length
-            stats.per_file[name] = stats.per_file.get(name, 0) + item.n_reads
 
         ingest.join()
         if live_bound + raw_bound > cp:
             # the same pre-grow guarantee for the final merge
             table = t2.grow2(table, round_tile(live_bound + raw_bound), cr)
-        lanes_np, counts_np = t2.finalize_host(table, k)
+        with metrics.timer("finalize"):
+            lanes_np, counts_np = t2.finalize_host(table, k)
         stats.consolidations += 1
         if self._scheduler is not None:
             from kmer_counter_tpu.io import spill as spill_io
@@ -413,6 +454,11 @@ class CountEngine:
             stats.total_kmers = int(counts_np.sum())
             dump_table(opts.output_file, lanes_np, counts_np)
         stats.wall_seconds = time.perf_counter() - t_start
+        metrics.count("reads", stats.reads)
+        metrics.count("chunks", stats.chunks)
+        metrics.count("consolidations", stats.consolidations)
+        metrics.count("distinct_kmers", stats.distinct_kmers)
+        _finish_metrics(opts, stats, metrics)
         if opts.verbose:
             print(
                 f"[engine] reads={stats.reads} bases={stats.bases} "
@@ -457,9 +503,12 @@ class CountEngine:
         return jax.device_put(t2.make_table2(new_cp, new_cr, NL), self.device)
 
     def _run_one_level(self) -> RunStats:
+        from kmer_counter_tpu.metrics import Metrics
+
         opts = self.opts
         k = opts.kmer_length
         stats = RunStats()
+        metrics = Metrics()
         t_start = time.perf_counter()
 
         source = DirectoryInput(opts.input_dir)
@@ -524,8 +573,16 @@ class CountEngine:
         )
         ingest.start()
 
+        import contextlib
+
         cur_L = line_length
         cur_slots = reads_per_chunk * (cur_L - k + 1)
+        _mon = contextlib.ExitStack()
+        _mon.enter_context(
+            _start_monitor(
+                opts, stats, lambda: f"bound={host_bound}/{table_slots}"
+            )
+        )
         while True:
             item = chunk_q.get()
             if item is _SENTINEL:
@@ -554,8 +611,9 @@ class CountEngine:
                 )
                 reads = np.vstack([reads, pad])
             if host_bound + cur_slots > table_slots:
-                table = table_ops.consolidate(table)
-                host_bound = int(jax.device_get(table.offset))
+                with metrics.timer("consolidate"):
+                    table = table_ops.consolidate(table)
+                    host_bound = int(jax.device_get(table.offset))
                 stats.consolidations += 1
                 if (
                     opts.checkpoint_every
@@ -587,11 +645,12 @@ class CountEngine:
                     else:
                         table = self._grow_for(table, host_bound + cur_slots)
                         table_slots = table.lanes.shape[1]
-            dev_reads = jax.device_put(reads, self.device)
-            lanes, counts = extract_chunk(dev_reads, k, opts.canonical)
-            table = table_ops.append(
-                table, lanes, counts, jnp_int32(cur_slots)
-            )
+            with metrics.timer("dispatch"):
+                dev_reads = jax.device_put(reads, self.device)
+                lanes, counts = extract_chunk(dev_reads, k, opts.canonical)
+                table = table_ops.append(
+                    table, lanes, counts, jnp_int32(cur_slots)
+                )
             host_bound += cur_slots
             stats.chunks += 1
             stats.reads += item.n_reads
@@ -599,7 +658,9 @@ class CountEngine:
             stats.per_file[name] = stats.per_file.get(name, 0) + item.n_reads
 
         ingest.join()
-        table = table_ops.consolidate(table)
+        _mon.close()
+        with metrics.timer("finalize"):
+            table = table_ops.consolidate(table)
         stats.consolidations += 1
         num_unique = int(jax.device_get(table.offset))
         lanes = np.asarray(jax.device_get(table.lanes[:, :num_unique])).T
@@ -626,6 +687,11 @@ class CountEngine:
             stats.total_kmers = int(counts.sum())
             dump_table(opts.output_file, lanes, counts)
         stats.wall_seconds = time.perf_counter() - t_start
+        metrics.count("reads", stats.reads)
+        metrics.count("chunks", stats.chunks)
+        metrics.count("consolidations", stats.consolidations)
+        metrics.count("distinct_kmers", stats.distinct_kmers)
+        _finish_metrics(opts, stats, metrics)
         if opts.verbose:
             print(
                 f"[engine] reads={stats.reads} bases={stats.bases} "
@@ -759,6 +825,7 @@ class MeshCountEngine:
         counter.reset()
 
     def run(self) -> RunStats:
+        from kmer_counter_tpu.metrics import Metrics
         from kmer_counter_tpu.parallel.pipeline import (
             ShardedCounter,
             ShardedCounter2,
@@ -767,6 +834,7 @@ class MeshCountEngine:
         opts = self.opts
         k = opts.kmer_length
         stats = RunStats()
+        metrics = Metrics()
         t_start = time.perf_counter()
         D = self.mesh.devices.size
 
@@ -891,32 +959,39 @@ class MeshCountEngine:
             ):
                 self._spill_counter(counter, stats)
 
-        if multi_process:
-            from jax.experimental import multihost_utils
+        with _start_monitor(
+            opts,
+            stats,
+            lambda: f"occupied/dev={counter.occupied_bound()}",
+        ):
+            if multi_process:
+                from jax.experimental import multihost_utils
 
-            empty = np.zeros((want_rows, line_length), np.uint8)
-            drained = False
-            while True:
-                reads = None if drained else next_local_chunk()
-                drained = reads is None
-                # Lockstep: continue while any process still has data.
-                anyone = multihost_utils.process_allgather(
-                    np.array([not drained], bool)
-                )
-                if not bool(np.any(anyone)):
-                    break
-                maybe_spill()
-                counter.step(reads if reads is not None else empty)
-                if reads is not None:
+                empty = np.zeros((want_rows, line_length), np.uint8)
+                drained = False
+                while True:
+                    reads = None if drained else next_local_chunk()
+                    drained = reads is None
+                    # Lockstep: continue while any process still has data.
+                    anyone = multihost_utils.process_allgather(
+                        np.array([not drained], bool)
+                    )
+                    if not bool(np.any(anyone)):
+                        break
+                    maybe_spill()
+                    with metrics.timer("dispatch"):
+                        counter.step(reads if reads is not None else empty)
+                    if reads is not None:
+                        stats.chunks += 1
+            else:
+                while True:
+                    reads = next_local_chunk()
+                    if reads is None:
+                        break
+                    maybe_spill()
+                    with metrics.timer("dispatch"):
+                        counter.step(reads)
                     stats.chunks += 1
-        else:
-            while True:
-                reads = next_local_chunk()
-                if reads is None:
-                    break
-                maybe_spill()
-                counter.step(reads)
-                stats.chunks += 1
         ingest.join()
 
         # The all-T side count (two-level tables, k % 16 == 0, forward):
@@ -939,7 +1014,8 @@ class MeshCountEngine:
                     opts.temp_dir, f"spill_{stats.spilled_runs:06d}.run"
                 )
                 self._scheduler.add_run(spill_io.write_run(path, lanes, counts))
-            written = self._scheduler.finish(opts.output_file)
+            with metrics.timer("finalize"):
+                written = self._scheduler.finish(opts.output_file)
             self._scheduler = None
             if allt:
                 written += dump_table(
@@ -949,6 +1025,7 @@ class MeshCountEngine:
             _, counts_all = load_table(opts.output_file, k)
             stats.total_kmers = int(counts_all.sum())
             stats.wall_seconds = time.perf_counter() - t_start
+            _finish_metrics(opts, stats, metrics)
             return stats
 
         if multi_process:
@@ -958,7 +1035,9 @@ class MeshCountEngine:
             import json
 
             written = 0
-            for pos, lanes, counts in counter.finalize_local():
+            with metrics.timer("finalize"):
+                parts_out = counter.finalize_local()
+            for pos, lanes, counts in parts_out:
                 part = f"{opts.output_file}.part{pos:05d}"
                 n = dump_table(part, lanes, counts)
                 if allt and pos == D - 1:
@@ -978,9 +1057,11 @@ class MeshCountEngine:
                 )
             stats.distinct_kmers = written
             stats.wall_seconds = time.perf_counter() - t_start
+            _finish_metrics(opts, stats, metrics)
             return stats
 
-        lanes, counts = counter.finalize()
+        with metrics.timer("finalize"):
+            lanes, counts = counter.finalize()
         counts = np.asarray(counts, np.uint32)
         if allt:
             if lanes.shape[0] and np.array_equal(lanes[-1], allt_lanes[0]):
@@ -995,6 +1076,10 @@ class MeshCountEngine:
         stats.total_kmers = int(counts.sum())
         dump_table(opts.output_file, lanes, counts)
         stats.wall_seconds = time.perf_counter() - t_start
+        metrics.count("reads", stats.reads)
+        metrics.count("chunks", stats.chunks)
+        metrics.count("distinct_kmers", stats.distinct_kmers)
+        _finish_metrics(opts, stats, metrics)
         if opts.verbose:
             print(
                 f"[engine] reads={stats.reads} distinct={stats.distinct_kmers} "
