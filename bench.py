@@ -236,7 +236,7 @@ def main():
         # pass + stream compaction per consolidation.
         try:
             from kmer_counter_tpu.ops import table2 as t2
-            from kmer_counter_tpu.ops.pipeline import extract_chunk_keys
+            from kmer_counter_tpu.ops.pipeline import count_step_two_level
 
             cp = kmers_per_chunk  # prefix: all distinct keys must fit
             cr = capacity - cp
@@ -247,12 +247,16 @@ def main():
                 return int(jax.device_get(table.raw_off))
 
             def step2(table):
+                # Exactly TWO compiled programs in the steady state: the
+                # fused extract+append step (device-resident raw offset —
+                # no per-offset executable variants) and consolidate3.
+                # Round 2's five-program phase died in remote compiles
+                # (BENCH_r02 rc=124).
                 if state["bound"] + kmers_per_chunk > cr:
                     table, live, lost = t2.consolidate3(table)
                     state["bound"] = 0
                     state["consolidations"] += 1
-                lanes, allt = extract_chunk_keys(dev_reads, k, canonical)
-                table = t2.append_raw_at(table, lanes, allt, state["bound"])
+                table = count_step_two_level(table, dev_reads, k, canonical)
                 state["bound"] += kmers_per_chunk
                 return table
 

@@ -228,7 +228,7 @@ class CountEngine:
         can never truncate (lost is asserted 0)."""
         from kmer_counter_tpu.metrics import Metrics
         from kmer_counter_tpu.ops import table2 as t2
-        from kmer_counter_tpu.ops.pipeline import extract_chunk_keys
+        from kmer_counter_tpu.ops.pipeline import count_step_two_level
         from kmer_counter_tpu.ops.pallas_sort import TILE
 
         opts = self.opts
@@ -413,12 +413,13 @@ class CountEngine:
                     table, cp, cr = consolidate(table, cp, cr)
                     raw_bound = 0
                 with metrics.timer("dispatch"):
-                    # Host enqueue time (extract + append run async on
-                    # device; device time shows up in the consolidate /
-                    # finalize drains).
+                    # Host enqueue time (the fused extract+append runs
+                    # async on device; device time shows up in the
+                    # consolidate / finalize drains).
                     dev_reads = jax.device_put(reads, self.device)
-                    lanes, allt = extract_chunk_keys(dev_reads, k, opts.canonical)
-                    table = t2.append_raw_at(table, lanes, allt, raw_bound)
+                    table = count_step_two_level(
+                        table, dev_reads, k, opts.canonical
+                    )
                 raw_bound += cur_slots
                 stats.chunks += 1
                 stats.reads += item.n_reads

@@ -504,6 +504,257 @@ def merge_sorted_runs(
     )
 
 
+def merge_sorted_runs_fold(
+    a_ops: Sequence[jnp.ndarray],
+    b_ops: Sequence[jnp.ndarray],
+    num_keys: int,
+    tile: int = TILE,
+    interpret: bool = False,
+) -> tuple:
+    """merge_sorted_runs with the count-fold fused into the kernel.
+
+    The LAST operand of each set is a count; the merged output carries
+    each duplicate-key run's summed count on the run's LAST row and 0 on
+    every other row (keys stay in place, so the result is still sorted and
+    ready for compact_live with ``live = counts``).  This replaces the
+    separate 23M-row XLA fold pass (_fold_counts_in_place) — and, because
+    the fold sums anything, the raw region can feed plain 0/1 liveness
+    instead of precomputed multiplicities, dropping the
+    _raw_counts_in_place pass too (docs/ROADMAP.md round-3 item).
+
+    Mechanism: per output tile, a 16-stage doubling cumsum of the counts
+    + a 16-stage fill-from-left select-scan locate each row's preceding
+    run-end; a run whose end is the tile's last row is detected against
+    the NEXT merged element, extracted from the (already resident) input
+    windows at their consumed offsets by one-hot reduction; the partial
+    sum of a run spanning the tile edge rides an SMEM carry across the
+    sequential grid.  All fold compute runs on VMEM-resident vregs — the
+    kernel stays HBM-bound, so the fused fold is effectively free.
+
+    Same requirements as merge_sorted_runs; counts use uint32 modular
+    arithmetic (wraparound cancels across the carry, like ops.sortcount).
+    """
+    a_ops = [v.astype(jnp.uint32) for v in a_ops]
+    b_ops = [v.astype(jnp.uint32) for v in b_ops]
+    na, nb = a_ops[0].shape[0], b_ops[0].shape[0]
+    n = na + nb
+    if n % tile != 0:
+        raise ValueError(f"merge_sorted_runs_fold requires (na+nb) % {tile} == 0")
+    if len(a_ops) != num_keys + 1 or len(b_ops) != num_keys + 1:
+        raise ValueError("operands must be num_keys key lanes + one count")
+    a_start, a_end, b_start, b_end = _diag_splits_pair(
+        a_ops[:num_keys], b_ops[:num_keys], num_keys, na, nb, tile
+    )
+    pad = _rows_pad_elements(tile)
+    a_pad = [jnp.concatenate([v, jnp.zeros((pad,), jnp.uint32)]) for v in a_ops]
+    b_pad = [jnp.concatenate([v, jnp.zeros((pad,), jnp.uint32)]) for v in b_ops]
+    return _merge_pair_fold_call(
+        a_pad, b_pad, num_keys, n, na, nb,
+        a_start, a_end, b_start, b_end, tile, interpret,
+    )
+
+
+def _merge_pair_fold_call(
+    a_pad, b_pad, num_keys, n, na, nb,
+    a_start, a_end, b_start, b_end, w, interpret,
+):
+    """One merge-path pass over (A, B) with in-kernel run-total fold onto
+    run-end rows (see merge_sorted_runs_fold)."""
+    n_ops = len(a_pad)
+    wr = _rows(w)
+    buf_rows = wr + _WIN_EXTRA_ROWS
+    n_tiles = n // w
+
+    def kernel(*refs):
+        astart_r, aend_r, bstart_r, bend_r = refs[:4]
+        a_ins = refs[4 : 4 + n_ops]
+        b_ins = refs[4 + n_ops : 4 + 2 * n_ops]
+        outs = refs[4 + 2 * n_ops : 4 + 3 * n_ops]
+        bufs = refs[4 + 3 * n_ops : 4 + 5 * n_ops]
+        carry_ref = refs[4 + 5 * n_ops]
+        sems = refs[4 + 5 * n_ops + 1]
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            carry_ref[0] = 0
+
+        a_s, a_e = astart_r[t], aend_r[t]
+        b_s, b_e = bstart_r[t], bend_r[t]
+        a_row = a_s // _LANES
+        b_row = b_s // _LANES
+
+        copies = []
+        for i in range(n_ops):
+            copies.append(
+                pltpu.make_async_copy(
+                    a_ins[i].at[pl.ds(a_row, wr + 1), :],
+                    bufs[2 * i].at[pl.ds(0, wr + 1), :],
+                    sems.at[2 * i],
+                )
+            )
+            copies.append(
+                pltpu.make_async_copy(
+                    b_ins[i].at[pl.ds(b_row, wr + 1), :],
+                    bufs[2 * i + 1].at[pl.ds(0, wr + 1), :],
+                    sems.at[2 * i + 1],
+                )
+            )
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+        ea = a_s - a_row * _LANES
+        eb = b_s - b_row * _LANES
+        la = a_e - a_s
+        lb = b_e - b_s
+        i2 = _flat_iota((wr, _LANES))
+
+        merged = []
+        a_wins = []
+        b_wins = []
+        for i in range(n_ops):
+            aw = _dyn_shift_down(bufs[2 * i][:], ea)
+            bw = _dyn_shift_down(bufs[2 * i + 1][:], eb)
+            a_wins.append(aw)
+            b_wins.append(bw)
+            av, bv = aw[:wr], bw[:wr]
+            if i < num_keys:
+                av = jnp.where(i2 < la, av, SENTINEL)
+                bv = jnp.where(i2 < lb, bv, SENTINEL)
+            else:
+                av = jnp.where(i2 < la, av, jnp.uint32(0))
+                bv = jnp.where(i2 < lb, bv, jnp.uint32(0))
+            merged.append(jnp.concatenate([av, bv], axis=0))
+
+        i_m = _flat_iota(merged[0].shape)
+        merged = _odd_even_merge_stages(merged, num_keys, w, i_m)
+        vs = [v[:wr] for v in merged]
+
+        # ---- fused fold: run totals onto run-end rows ----
+        keys = vs[:num_keys]
+        counts = vs[num_keys]
+        # The merged stream's NEXT element (tile t+1's first): the lex-min
+        # of the two windows' first unconsumed elements — one-hot-extracted
+        # from the already-resident (aligned) windows; an exhausted side
+        # reads as the sentinel.  (Every tile consumes exactly ``w``
+        # elements, so merged[w:] is all-sentinel and useless here.)
+        i_buf = _flat_iota((buf_rows, _LANES))
+        next_a = []
+        next_b = []
+        for i in range(num_keys):
+            # one-hot max-extract: every other slot is 0, so max = value
+            one_a = jnp.where(i_buf == la, a_wins[i], jnp.uint32(0))
+            one_b = jnp.where(i_buf == lb, b_wins[i], jnp.uint32(0))
+            next_a.append(jnp.where(a_s + la < na, jnp.max(one_a), SENTINEL))
+            next_b.append(jnp.where(b_s + lb < nb, jnp.max(one_b), SENTINEL))
+        # scalar lexicographic a <= b
+        a_le_b = jnp.bool_(True)
+        for i in reversed(range(num_keys)):
+            eq = next_a[i] == next_b[i]
+            a_le_b = jnp.where(eq, a_le_b, next_a[i] < next_b[i])
+        next_key = [
+            jnp.where(a_le_b, next_a[i], next_b[i]) for i in range(num_keys)
+        ]
+        is_last = i2 == (w - 1)
+        last_key = [jnp.max(jnp.where(is_last, k, jnp.uint32(0))) for k in keys]
+        last_differs = jnp.bool_(False)
+        for i in range(num_keys):
+            last_differs = last_differs | (last_key[i] != next_key[i])
+
+        # within-tile run ends: key[i] != key[i+1]
+        nxt = [_partner_down(k, 1) for k in keys]
+        differs = jnp.zeros(keys[0].shape, dtype=jnp.bool_)
+        for i in range(num_keys):
+            differs = differs | (keys[i] != nxt[i])
+        is_end = (is_last & last_differs) | (~is_last & differs)
+        is_sent = jnp.ones(keys[0].shape, dtype=jnp.bool_)
+        for i in range(num_keys):
+            is_sent = is_sent & (keys[i] == SENTINEL)
+
+        c_i32 = counts.astype(jnp.int32)
+        incl = _tile_cumsum_excl(c_i32, w) + c_i32
+        # prev_end_incl[i]: incl at the nearest end-row strictly before i
+        # (0 when none) — fill-from-left of end incl values, shifted by 1.
+        end_i32 = jnp.where(is_end, jnp.int32(1), jnp.int32(0))
+        at_or_before_val = jnp.where(is_end, incl, jnp.int32(0))
+        at_or_before_flag = end_i32
+        d = 1
+        while d < w:
+            pv = _partner_up(at_or_before_val, d)
+            pf = _partner_up(at_or_before_flag, d)
+            in_range = i2 >= d
+            take = in_range & (at_or_before_flag == 0) & (pf != 0)
+            at_or_before_val = jnp.where(take, pv, at_or_before_val)
+            at_or_before_flag = jnp.where(take, pf, at_or_before_flag)
+            d *= 2
+        pe_val = _partner_up(at_or_before_val, 1)
+        pe_flag = _partner_up(at_or_before_flag, 1)
+        first = i2 == 0
+        prev_end_incl = jnp.where(first, jnp.int32(0), jnp.where(pe_flag != 0, pe_val, jnp.int32(0)))
+        has_prev_end = (~first) & (pe_flag != 0)
+
+        carry = carry_ref[0]
+        total = incl - prev_end_incl + jnp.where(
+            has_prev_end, jnp.int32(0), carry
+        )
+        out_counts = jnp.where(
+            is_end & ~is_sent, total.astype(jnp.uint32), jnp.uint32(0)
+        )
+        # New carry: counts accumulated past the last end row (plus the old
+        # carry when no run ended in this tile at all).  Extract via the
+        # one-hot sum at the last element — the fill-from-left scan's value
+        # there IS the last end row's incl (wraparound-safe, unlike a max).
+        def at_last(v):
+            return jnp.sum(jnp.where(is_last, v, jnp.int32(0)))
+
+        incl_last = at_last(incl)
+        last_end_incl = at_last(at_or_before_val)
+        any_end = at_last(at_or_before_flag) != 0
+        carry_ref[0] = jnp.where(
+            any_end, incl_last - last_end_incl, carry + incl_last
+        )
+
+        for i in range(num_keys):
+            outs[i][:] = keys[i]
+        outs[num_keys][:] = out_counts
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 * n_ops),
+        out_specs=[
+            pl.BlockSpec(
+                (wr, _LANES), lambda t, *_refs: (t, 0), memory_space=pltpu.VMEM
+            )
+        ]
+        * n_ops,
+        scratch_shapes=[pltpu.VMEM((buf_rows, _LANES), jnp.uint32)] * (2 * n_ops)
+        + [pltpu.SMEM((1,), jnp.int32)]
+        + [pltpu.SemaphoreType.DMA((2 * n_ops,))],
+    )
+    na_rows = a_pad[0].shape[0] // _LANES
+    nb_rows = b_pad[0].shape[0] // _LANES
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.uint32)
+            for _ in range(n_ops)
+        ],
+        interpret=interpret,
+    )(
+        a_start,
+        a_end,
+        b_start,
+        b_end,
+        *[v.reshape(na_rows, _LANES) for v in a_pad],
+        *[v.reshape(nb_rows, _LANES) for v in b_pad],
+    )
+    return tuple(v.reshape(n) for v in out)
+
+
 def _shift_up_masked(v, d: int, i):
     """x[i] += x[i-d] for i >= d (one prefix-scan doubling stage)."""
     return v + jnp.where(i >= d, _partner_up(v, d), jnp.zeros_like(v))

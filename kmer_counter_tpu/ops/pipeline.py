@@ -69,6 +69,33 @@ def extract_chunk_keys(
     return jnp.where(wv[None, :], flat, sentinel), allt
 
 
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("k", "canonical"))
+def count_step_two_level(table, reads: jnp.ndarray, k: int, canonical: bool = False):
+    """Fused chunk step for the two-level table: extract keys + raw append
+    as ONE compiled program.
+
+    The append offset is the table's own device-resident ``raw_off`` (no
+    host scalar upload, no static-offset executable variants): the
+    two-level steady state compiles exactly one program per (k, canonical,
+    shapes).  Through this sandbox's remote-compile tunnel each extra
+    program costs minutes — the separate extract + per-offset append
+    design cost round 2 its benchmark (BENCH_r02 rc=124).
+
+    The caller must guarantee raw_off + chunk ≤ CR (host-mirrored bound,
+    see ops.table2.raw_append_fits); the reference's analog of this step
+    is processKMers' encode+extract launch pair (GPUHandler.cu:397-448).
+    """
+    lanes, allt = extract_chunk_keys(reads, k, canonical)
+    raw = jax.lax.dynamic_update_slice(
+        table.raw_lanes, lanes, (jnp.int32(0), table.raw_off)
+    )
+    return table._replace(
+        raw_lanes=raw,
+        raw_off=table.raw_off + jnp.int32(lanes.shape[1]),
+        allt=table.allt + allt,
+    )
+
+
 @partial(jax.jit, static_argnames=("k", "canonical"))
 def count_chunk(
     reads: jnp.ndarray, k: int, canonical: bool = False

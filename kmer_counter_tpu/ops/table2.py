@@ -243,6 +243,48 @@ def _fold_counts_in_place(lanes: jnp.ndarray, counts: jnp.ndarray) -> jnp.ndarra
 
 
 @partial(jax.jit, donate_argnums=(0,), static_argnames=("interpret",))
+def _consolidate3_fold_impl(table: TwoLevelTable, interpret: bool = False):
+    """consolidate3 with the count-fold fused into the merge kernel
+    (pallas_sort.merge_sorted_runs_fold): drops BOTH the 23M-row XLA fold
+    pass and the raw-multiplicity pass — the raw region feeds plain 0/1
+    liveness and the kernel sums run totals onto run-end rows in VMEM
+    (docs/ROADMAP.md round-3 item)."""
+    from kmer_counter_tpu.ops import pallas_sort
+
+    NL, CP = table.prefix_lanes.shape
+    CR = table.raw_lanes.shape[1]
+    idx = jnp.arange(CR, dtype=jnp.int32)
+    live = idx < table.raw_off
+    eff = jnp.where(live[None, :], table.raw_lanes, SENTINEL)
+    s_ops = jax.lax.sort(tuple(eff[i] for i in range(NL)), dimension=0, num_keys=NL)
+    s_lanes = jnp.stack(s_ops, axis=0)
+    is_sent = jnp.all(s_lanes == SENTINEL, axis=0)
+    r_ones = jnp.where(is_sent, jnp.uint32(0), jnp.uint32(1))
+
+    merged = pallas_sort.merge_sorted_runs_fold(
+        [*(table.prefix_lanes[i] for i in range(NL)), table.prefix_counts],
+        [*(s_lanes[i] for i in range(NL)), r_ones],
+        num_keys=NL,
+        interpret=interpret,
+    )
+    folded = merged[NL]
+    out = pallas_sort.compact_live(
+        [*merged[:NL], folded],
+        folded,
+        num_keys=NL,
+        interpret=interpret,
+    )
+    live_count = jnp.sum((folded != 0).astype(jnp.int32))
+    new_lanes = jnp.stack([out[i][:CP] for i in range(NL)], axis=0)
+    new_counts = out[NL][:CP]
+    lost = jnp.maximum(live_count - CP, 0)
+    table = table._replace(
+        prefix_lanes=new_lanes, prefix_counts=new_counts, raw_off=jnp.int32(0)
+    )
+    return table, jnp.minimum(live_count, CP), lost
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("interpret",))
 def _consolidate3_impl(table: TwoLevelTable, interpret: bool = False):
     from kmer_counter_tpu.ops import pallas_sort
 
@@ -279,13 +321,21 @@ def _consolidate3_impl(table: TwoLevelTable, interpret: bool = False):
     return table, jnp.minimum(live_count, CP), lost
 
 
-def consolidate3(table: TwoLevelTable, _interpret: bool = False):
+def consolidate3(
+    table: TwoLevelTable,
+    _interpret: bool = False,
+    fold_fused: bool | None = None,
+):
     """Pallas-merge consolidation: raw keys-only lax sort + in-place
     multiplicities + ONE merge-path pass against the prefix
     (pallas_sort.merge_sorted_runs) + run-total fold + stream compaction
     (pallas_sort.compact_live) — replacing consolidate2's 3-operand
     merge sort (118ms at 22.9M rows) with ~1/4 the cost (measured,
     docs/experiments_consolidate_tpu.py).
+
+    ``fold_fused`` (default: env KMER_TPU_FOLD_FUSED, off unless "1")
+    selects the merge kernel with the in-kernel count fold
+    (_consolidate3_fold_impl), which skips two whole-table XLA passes.
 
     Same contract as consolidate2: returns (table', live, lost); lost
     must be 0 (finalize_host raises otherwise).  Prefix invariant becomes
@@ -295,6 +345,8 @@ def consolidate3(table: TwoLevelTable, _interpret: bool = False):
     Requires (CP+CR) % pallas_sort.TILE == 0 and a TPU backend (or
     ``_interpret=True`` for tests); otherwise falls back to consolidate2.
     """
+    import os
+
     from kmer_counter_tpu.ops import pallas_sort
     from kmer_counter_tpu.ops.sortcount import tpu_backend
 
@@ -302,6 +354,10 @@ def consolidate3(table: TwoLevelTable, _interpret: bool = False):
     CR = table.raw_lanes.shape[1]
     if (CP + CR) % pallas_sort.TILE != 0 or not (tpu_backend() or _interpret):
         return consolidate2(table)
+    if fold_fused is None:
+        fold_fused = os.environ.get("KMER_TPU_FOLD_FUSED", "0") == "1"
+    if fold_fused:
+        return _consolidate3_fold_impl(table, interpret=_interpret)
     return _consolidate3_impl(table, interpret=_interpret)
 
 

@@ -232,3 +232,108 @@ def test_diag_splits_partition(rng):
         keys.reshape(-1, 2 * run), axis=1
     ).reshape(-1)
     assert np.array_equal(got, want)
+
+
+def _ref_fold_ends(keys_cols, counts):
+    """Reference fold: merged-sorted keys; each duplicate-key run's summed
+    count on the run's LAST row, 0 elsewhere; all-sentinel runs dead."""
+    karr = np.stack([np.asarray(c) for c in keys_cols], 1)
+    counts = np.asarray(counts, np.uint32)
+    n = len(counts)
+    out = np.zeros(n, np.uint32)
+    i = 0
+    while i < n:
+        j = i
+        while j + 1 < n and (karr[j + 1] == karr[i]).all():
+            j += 1
+        if not (karr[i] == 0xFFFFFFFF).all():
+            out[j] = np.uint32(counts[i : j + 1].sum())
+        i = j + 1
+    return out
+
+
+def _check_fold(a_keys_cols, a_counts, b_keys_cols, b_counts, num_keys):
+    got = ps.merge_sorted_runs_fold(
+        [*(jnp.asarray(c) for c in a_keys_cols), jnp.asarray(a_counts)],
+        [*(jnp.asarray(c) for c in b_keys_cols), jnp.asarray(b_counts)],
+        num_keys,
+        tile=TILE,
+        interpret=True,
+    )
+    merged_cols = [
+        np.concatenate([a, b]) for a, b in zip(a_keys_cols, b_keys_cols)
+    ]
+    order = np.lexsort(tuple(reversed(merged_cols)))
+    want_keys = [c[order] for c in merged_cols]
+    for i in range(num_keys):
+        assert np.array_equal(np.asarray(got[i]), want_keys[i]), f"lane {i}"
+    want_counts = _ref_fold_ends(
+        want_keys, np.concatenate([a_counts, b_counts])[order]
+    )
+    assert np.array_equal(np.asarray(got[num_keys]), want_counts)
+
+
+def test_merge_fold_heavy_dups(rng):
+    na, nb = TILE, 3 * TILE
+    a = np.sort(rng.integers(0, 48, na, np.uint64).astype(np.uint32))
+    b = np.sort(rng.integers(0, 48, nb, np.uint64).astype(np.uint32))
+    ac = rng.integers(1, 5, na).astype(np.uint32)
+    bc = np.ones(nb, np.uint32)
+    _check_fold([a], ac, [b], bc, 1)
+
+
+def test_merge_fold_two_key_lanes_with_sentinels(rng):
+    # the consolidate3 shape: 2-lane keys, sentinel tails on both sides
+    na, nb = 2 * TILE, 2 * TILE
+    a0 = np.sort(rng.integers(0, 16, na, np.uint64).astype(np.uint32))
+    a1 = rng.integers(0, 4, na, np.uint64).astype(np.uint32)
+    order = np.lexsort((a1, a0))
+    a0, a1 = a0[order], a1[order]
+    a0[-TILE // 2 :] = 0xFFFFFFFF
+    a1[-TILE // 2 :] = 0xFFFFFFFF
+    ac = np.where(a0 != 0xFFFFFFFF, 2, 0).astype(np.uint32)
+    b0 = np.sort(rng.integers(0, 16, nb, np.uint64).astype(np.uint32))
+    b1 = rng.integers(0, 4, nb, np.uint64).astype(np.uint32)
+    order = np.lexsort((b1, b0))
+    b0, b1 = b0[order], b1[order]
+    b0[-TILE // 3 :] = 0xFFFFFFFF
+    b1[-TILE // 3 :] = 0xFFFFFFFF
+    bc = np.where(b0 != 0xFFFFFFFF, 1, 0).astype(np.uint32)
+    _check_fold([a0, a1], ac, [b0, b1], bc, 2)
+
+
+def test_merge_fold_single_run_spans_all_tiles(rng):
+    # carry torture: one key across 4 tiles; total lands on the last row
+    na = nb = 2 * TILE
+    a = np.full(na, 7, np.uint32)
+    b = np.full(nb, 7, np.uint32)
+    ac = np.ones(na, np.uint32)
+    bc = rng.integers(1, 3, nb).astype(np.uint32)
+    _check_fold([a], ac, [b], bc, 1)
+
+
+def test_merge_fold_run_ends_exactly_at_tile_boundary(rng):
+    # a run whose last element is a tile's last row: the end must be
+    # detected against the NEXT merged element (extracted from the input
+    # windows), not within the tile.
+    na = nb = TILE
+    a = np.concatenate(
+        [np.full(TILE // 2, 5, np.uint32), np.full(TILE // 2, 9, np.uint32)]
+    )
+    b = np.concatenate(
+        [np.full(TILE // 2, 5, np.uint32), np.full(TILE // 2, 9, np.uint32)]
+    )
+    # merged: TILE of key 5 (exactly tile 0), TILE of key 9 (tile 1)
+    ac = np.ones(na, np.uint32)
+    bc = np.ones(nb, np.uint32)
+    _check_fold([a], ac, [b], bc, 1)
+
+
+def test_merge_fold_count_wraparound(rng):
+    # uint32 modular counts: totals that wrap must still difference out
+    na = nb = TILE
+    a = np.full(na, 3, np.uint32)
+    b = np.full(nb, 3, np.uint32)
+    ac = np.full(na, 0x80000000, np.uint32)  # 2*TILE halves wrap many times
+    bc = np.full(nb, 0x80000001, np.uint32)
+    _check_fold([a], ac, [b], bc, 1)

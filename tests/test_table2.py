@@ -181,3 +181,45 @@ def test_extract_chunk_keys_sentinels(rng):
         c for c in golden.count_reads(reads, 7, False).values()
     )
     assert (~sent).sum() == n_valid
+
+
+def test_consolidate3_fold_fused_matches_golden(rng):
+    # The in-kernel count-fold variant (merge_sorted_runs_fold): same
+    # contract and result as consolidate3, two fewer whole-table passes.
+    k = 15
+    canonical = True
+    NL = records.active_lanes(k)
+    CP, CR = 16384, 49152  # CP+CR == pallas_sort.TILE
+    table = t2.make_table2(CP, CR, NL)
+    chunks = [random_reads(rng, 16, 40, invalid_frac=0.05) for _ in range(4)]
+    for i, reads in enumerate(chunks):
+        lanes, allt = extract_chunk_keys(jnp.asarray(reads), k, canonical)
+        if not t2.raw_append_fits(table, lanes.shape[1]) or i == 2:
+            table, live, lost = t2.consolidate3(
+                table, _interpret=True, fold_fused=True
+            )
+            assert int(lost) == 0
+        table = t2.append_raw(table, lanes, allt)
+    table, live, lost = t2.consolidate3(table, _interpret=True, fold_fused=True)
+    assert int(lost) == 0
+    counts = np.asarray(table.prefix_counts)
+    nl = int(live)
+    assert np.all(counts[:nl] > 0) and np.all(counts[nl:] == 0)
+    lanes_np = np.asarray(table.prefix_lanes)[:, :nl]
+    keys = [tuple(lanes_np[:, i]) for i in range(nl)]
+    assert keys == sorted(set(keys)), "prefix not strictly sorted unique"
+    got = table_counter(table, k)
+    want = dict(golden.count_reads(np.vstack(chunks), k, canonical))
+    assert got == want
+
+
+def test_consolidate3_fold_fused_lost_detection(rng):
+    k = 15
+    NL = records.active_lanes(k)
+    CP, CR = 128, 65536 - 128
+    table = t2.make_table2(CP, CR, NL)
+    reads = random_reads(rng, 16, 40)
+    lanes, allt = extract_chunk_keys(jnp.asarray(reads), k, False)
+    table = t2.append_raw(table, lanes, allt)
+    _, live, lost = t2.consolidate3(table, _interpret=True, fold_fused=True)
+    assert int(lost) > 0
