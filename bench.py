@@ -26,7 +26,7 @@ insert loop).  vs_baseline = device_throughput / host_proxy_throughput.
 
 Env knobs: BENCH_READS (default 65536), BENCH_ITERS (8), BENCH_K (31),
 BENCH_CANONICAL (1), BENCH_LINE_LEN (100), BENCH_GENOME (1000000),
-BENCH_PHASES ("one,two"), BENCH_DEADLINE_S (520),
+BENCH_PHASES ("one,two,three"), BENCH_DEADLINE_S (520),
 JAX_COMPILATION_CACHE_DIR (default /tmp/jax_compile_cache — remote
 compiles through this environment's tunnel take minutes; the persistent
 cache makes reruns start in seconds).
@@ -137,7 +137,7 @@ def main():
     k = int(os.environ.get("BENCH_K", 31))
     canonical = os.environ.get("BENCH_CANONICAL", "1") == "1"
     L = int(os.environ.get("BENCH_LINE_LEN", 100))
-    phases = os.environ.get("BENCH_PHASES", "one,two").split(",")
+    phases = os.environ.get("BENCH_PHASES", "one,two,three").split(",")
     deadline_s = float(os.environ.get("BENCH_DEADLINE_S", 520))
     metric = f"kmers_per_sec_per_chip_k{k}"
 
@@ -230,10 +230,11 @@ def main():
         except Exception as e:  # never let phase 1 kill the run
             _log(f"one-level phase failed: {e!r}")
 
-    if "two" in phases:
-        # Phase 2 — two-level table + Pallas-merge consolidation
-        # (ops.table2 consolidate3): keys-only raw appends, one merge-path
-        # pass + stream compaction per consolidation.
+    def run_two_level_phase(label, fold_fused):
+        # Two-level table + Pallas-merge consolidation (ops.table2
+        # consolidate3, split-stage programs): keys-only raw appends, one
+        # merge-path pass + stream compaction per consolidation.
+        nonlocal best_tput
         try:
             from kmer_counter_tpu.ops import table2 as t2
             from kmer_counter_tpu.ops.pipeline import count_step_two_level
@@ -247,24 +248,26 @@ def main():
                 return int(jax.device_get(table.raw_off))
 
             def step2(table):
-                # Exactly TWO compiled programs in the steady state: the
-                # fused extract+append step (device-resident raw offset —
-                # no per-offset executable variants) and consolidate3.
-                # Round 2's five-program phase died in remote compiles
-                # (BENCH_r02 rc=124).
+                # The steady state compiles few, SMALL programs: the fused
+                # extract+append step (device-resident raw offset — no
+                # per-offset executable variants) and consolidate3's split
+                # stages.  Round 2's monolithic five-program phase died in
+                # remote compiles (BENCH_r02 rc=124).
                 if state["bound"] + kmers_per_chunk > cr:
-                    table, live, lost = t2.consolidate3(table)
+                    table, live, lost = t2.consolidate3(
+                        table, fold_fused=fold_fused
+                    )
                     state["bound"] = 0
                     state["consolidations"] += 1
                 table = count_step_two_level(table, dev_reads, k, canonical)
                 state["bound"] += kmers_per_chunk
                 return table
 
-            dt, table = _measure(step2, drain2, table, iters, "two-level")
+            dt, table = _measure(step2, drain2, table, iters, label)
             del table
             tput = iters * kmers_per_chunk / dt
             _log(
-                f"two-level: {dt / iters * 1e3:.1f}ms/chunk -> "
+                f"{label}: {dt / iters * 1e3:.1f}ms/chunk -> "
                 f"{tput / 1e6:.1f}M kmers/s "
                 f"({state['consolidations']} consolidations)"
             )
@@ -272,7 +275,14 @@ def main():
                 best_tput = tput
                 _bank(metric, tput, tput / proxy_tput)
         except Exception as e:
-            _log(f"two-level phase failed: {e!r}")
+            _log(f"{label} phase failed: {e!r}")
+
+    # Phase 2 — split-stage Pallas-merge consolidation; phase 3 upgrades
+    # to the in-kernel count fold.  Each banks incrementally.
+    if "two" in phases:
+        run_two_level_phase("two-level", fold_fused=False)
+    if "three" in phases:
+        run_two_level_phase("two-level-fused", fold_fused=True)
 
     if _BANK["json"] is None:
         raise SystemExit("no phase produced a measurement")

@@ -242,6 +242,115 @@ def _fold_counts_in_place(lanes: jnp.ndarray, counts: jnp.ndarray) -> jnp.ndarra
     return jnp.where(boundary & ~is_sent, run_total, jnp.uint32(0))
 
 
+# ---- split-stage consolidate3 ---------------------------------------------
+#
+# The monolithic _consolidate3_impl program (raw sort + Pallas merge + fold
+# + Pallas compact in ONE XLA program) never finished compiling through
+# this environment's remote-compile tunnel (>57 min in both the round-2
+# driver bench, BENCH_r02 rc=124, and a round-3 probe), while the SAME
+# kernels compiled standalone in minutes (docs/experiments_consolidate_tpu
+# measured them on-chip).  The production path therefore runs the stages
+# as separate jitted programs: dispatch is async so there is no added
+# device latency, each program is small enough to compile, and each lands
+# in the persistent compilation cache independently.
+
+
+@jax.jit
+def _c3_sort_raw(raw_lanes, raw_off):
+    """Stage 1 (XLA): sentinel-mask + keys-only sort of the raw region,
+    plus in-place multiplicities.  raw_lanes is NOT donated — the table
+    keeps its raw buffer across consolidations."""
+    NL, CR = raw_lanes.shape
+    idx = jnp.arange(CR, dtype=jnp.int32)
+    eff = jnp.where((idx < raw_off)[None, :], raw_lanes, SENTINEL)
+    s_ops = jax.lax.sort(tuple(eff[i] for i in range(NL)), dimension=0, num_keys=NL)
+    s_lanes = jnp.stack(s_ops, axis=0)
+    return s_lanes, _raw_counts_in_place(s_lanes)
+
+
+@jax.jit
+def _c3_sort_raw_ones(raw_lanes, raw_off):
+    """Stage 1 for the fused-fold path: multiplicities are just 0/1
+    liveness (the merge kernel's fold sums them)."""
+    NL, CR = raw_lanes.shape
+    idx = jnp.arange(CR, dtype=jnp.int32)
+    eff = jnp.where((idx < raw_off)[None, :], raw_lanes, SENTINEL)
+    s_ops = jax.lax.sort(tuple(eff[i] for i in range(NL)), dimension=0, num_keys=NL)
+    s_lanes = jnp.stack(s_ops, axis=0)
+    is_sent = jnp.all(s_lanes == SENTINEL, axis=0)
+    return s_lanes, jnp.where(is_sent, jnp.uint32(0), jnp.uint32(1))
+
+
+@partial(jax.jit, static_argnames=("interpret", "fold"))
+def _c3_merge(p_lanes, p_counts, s_lanes, r_counts, interpret=False, fold=False):
+    """Stage 2 (Pallas): one merge-path pass prefix x sorted-raw.  (No
+    donation: every output is CP+CR long, bigger than any input buffer.)"""
+    from kmer_counter_tpu.ops import pallas_sort
+
+    NL = p_lanes.shape[0]
+    f = pallas_sort.merge_sorted_runs_fold if fold else pallas_sort.merge_sorted_runs
+    return f(
+        [*(p_lanes[i] for i in range(NL)), p_counts],
+        [*(s_lanes[i] for i in range(NL)), r_counts],
+        num_keys=NL,
+        interpret=interpret,
+    )
+
+
+@partial(jax.jit, donate_argnums=(1,))
+def _c3_fold(m_lanes_tuple, m_counts):
+    """Stage 3 (XLA): run totals onto run-head rows (skipped when the
+    merge kernel folds in-kernel)."""
+    return _fold_counts_in_place(jnp.stack(m_lanes_tuple, axis=0), m_counts)
+
+
+@partial(jax.jit, static_argnames=("cp", "interpret"))
+def _c3_compact(m_ops, folded, cp: int, interpret: bool = False):
+    """Stage 4 (Pallas): stream-compact live rows, truncate to the prefix."""
+    from kmer_counter_tpu.ops import pallas_sort
+
+    NL = len(m_ops)
+    out = pallas_sort.compact_live(
+        [*m_ops, folded], folded, num_keys=NL, interpret=interpret
+    )
+    live_count = jnp.sum((folded != 0).astype(jnp.int32))
+    new_lanes = jnp.stack([out[i][:cp] for i in range(NL)], axis=0)
+    new_counts = out[NL][:cp]
+    return (
+        new_lanes,
+        new_counts,
+        jnp.minimum(live_count, cp),
+        jnp.maximum(live_count - cp, 0),
+    )
+
+
+def _consolidate3_split(
+    table: TwoLevelTable, interpret: bool = False, fold_fused: bool = False
+):
+    """consolidate3 as separately jitted stages (see block comment)."""
+    NL, CP = table.prefix_lanes.shape
+    if fold_fused:
+        s_lanes, r_counts = _c3_sort_raw_ones(table.raw_lanes, table.raw_off)
+    else:
+        s_lanes, r_counts = _c3_sort_raw(table.raw_lanes, table.raw_off)
+    merged = _c3_merge(
+        table.prefix_lanes,
+        table.prefix_counts,
+        s_lanes,
+        r_counts,
+        interpret=interpret,
+        fold=fold_fused,
+    )
+    folded = merged[NL] if fold_fused else _c3_fold(tuple(merged[:NL]), merged[NL])
+    new_lanes, new_counts, live, lost = _c3_compact(
+        tuple(merged[:NL]), folded, CP, interpret=interpret
+    )
+    out = table._replace(
+        prefix_lanes=new_lanes, prefix_counts=new_counts, raw_off=jnp.int32(0)
+    )
+    return out, live, lost
+
+
 @partial(jax.jit, donate_argnums=(0,), static_argnames=("interpret",))
 def _consolidate3_fold_impl(table: TwoLevelTable, interpret: bool = False):
     """consolidate3 with the count-fold fused into the merge kernel
@@ -356,9 +465,15 @@ def consolidate3(
         return consolidate2(table)
     if fold_fused is None:
         fold_fused = os.environ.get("KMER_TPU_FOLD_FUSED", "0") == "1"
-    if fold_fused:
-        return _consolidate3_fold_impl(table, interpret=_interpret)
-    return _consolidate3_impl(table, interpret=_interpret)
+    if os.environ.get("KMER_TPU_MONO_CONSOLIDATE", "0") == "1":
+        # The single-program variants: never finished compiling through
+        # this environment's remote tunnel (see _consolidate3_split's
+        # block comment) but kept for real TPU environments where one
+        # program saves dispatches.
+        if fold_fused:
+            return _consolidate3_fold_impl(table, interpret=_interpret)
+        return _consolidate3_impl(table, interpret=_interpret)
+    return _consolidate3_split(table, interpret=_interpret, fold_fused=fold_fused)
 
 
 @partial(jax.jit, static_argnames=("prefix_slots", "raw_slots"))
