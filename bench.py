@@ -26,7 +26,9 @@ insert loop).  vs_baseline = device_throughput / host_proxy_throughput.
 
 Env knobs: BENCH_READS (default 65536), BENCH_ITERS (8), BENCH_K (31),
 BENCH_CANONICAL (1), BENCH_LINE_LEN (100), BENCH_GENOME (1000000),
-BENCH_PHASES ("one,two,three"), BENCH_DEADLINE_S (520),
+BENCH_PHASES ("one,three"; "two" = the unfused two-level phase,
+off by default — its XLA fold pass never finishes compiling through this
+sandbox's remote tunnel), BENCH_DEADLINE_S (520),
 JAX_COMPILATION_CACHE_DIR (default /tmp/jax_compile_cache — remote
 compiles through this environment's tunnel take minutes; the persistent
 cache makes reruns start in seconds).
@@ -137,7 +139,7 @@ def main():
     k = int(os.environ.get("BENCH_K", 31))
     canonical = os.environ.get("BENCH_CANONICAL", "1") == "1"
     L = int(os.environ.get("BENCH_LINE_LEN", 100))
-    phases = os.environ.get("BENCH_PHASES", "one,two,three").split(",")
+    phases = os.environ.get("BENCH_PHASES", "one,three").split(",")
     deadline_s = float(os.environ.get("BENCH_DEADLINE_S", 520))
     metric = f"kmers_per_sec_per_chip_k{k}"
 

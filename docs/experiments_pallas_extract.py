@@ -1,4 +1,15 @@
-"""Pallas fused encode+extract kernel — the hot per-chunk op.
+"""Pallas fused encode+extract kernel — a MEASURED DEAD END, kept as an
+experiment (not on any production path).
+
+On-chip: 3.6ms/chunk vs XLA's 3.2ms for ops.encode+ops.extract
+(BASELINE.md round 1) — XLA is already at speed-of-light for this op, so
+the production pipeline uses the pure-XLA extract.  Preserved because the
+kernel documents working Mosaic patterns (log-tree pack in-kernel,
+int32-only predicates) and the negative result that extraction is not
+the bottleneck.
+
+Original header:
+Pallas fused encode+extract kernel — the hot per-chunk op.
 
 Fuses the whole per-chunk record producer (ops.encode + ops.extract —
 the TPU redesign of the reference's bitEncode + extractKMers kernels,

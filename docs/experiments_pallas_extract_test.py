@@ -5,7 +5,16 @@ import jax.numpy as jnp
 import pytest
 
 from kmer_counter_tpu.ops import extract_chunk
-from kmer_counter_tpu.ops.pallas_extract import extract_chunk_lanes_major
+import importlib.util as _ilu
+import os as _os
+
+_spec = _ilu.spec_from_file_location(
+    "experiments_pallas_extract",
+    _os.path.join(_os.path.dirname(__file__), "experiments_pallas_extract.py"),
+)
+_mod = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_mod)
+extract_chunk_lanes_major = _mod.extract_chunk_lanes_major
 
 
 @pytest.mark.parametrize("k", [15, 31, 33, 55])

@@ -640,25 +640,40 @@ def _merge_pair_fold_call(
         # from the already-resident (aligned) windows; an exhausted side
         # reads as the sentinel.  (Every tile consumes exactly ``w``
         # elements, so merged[w:] is all-sentinel and useless here.)
+        def onehot_i32(mask, v):
+            # One-hot extraction: bitcast the u32 VECTOR to i32 (Mosaic has
+            # neither unsigned reductions nor scalar bitcasts), zero all
+            # other slots, SUM — bit-exact, sign-safe.  The scalar stays in
+            # int32 bit-space; all downstream uses are bit-compares or the
+            # sign-bias-flipped order below.
+            vi = jax.lax.bitcast_convert_type(v, jnp.int32)
+            return jnp.sum(jnp.where(mask, vi, jnp.int32(0)))
+
+        SENT_I32 = jnp.int32(-1)  # 0xFFFFFFFF
         i_buf = _flat_iota((buf_rows, _LANES))
         next_a = []
         next_b = []
         for i in range(num_keys):
-            # one-hot max-extract: every other slot is 0, so max = value
-            one_a = jnp.where(i_buf == la, a_wins[i], jnp.uint32(0))
-            one_b = jnp.where(i_buf == lb, b_wins[i], jnp.uint32(0))
-            next_a.append(jnp.where(a_s + la < na, jnp.max(one_a), SENTINEL))
-            next_b.append(jnp.where(b_s + lb < nb, jnp.max(one_b), SENTINEL))
+            ka = onehot_i32(i_buf == la, a_wins[i])
+            kb = onehot_i32(i_buf == lb, b_wins[i])
+            next_a.append(jnp.where(a_s + la < na, ka, SENT_I32))
+            next_b.append(jnp.where(b_s + lb < nb, kb, SENT_I32))
+
+        def u32_lt_bits(xi, yi):
+            # unsigned < on int32 bit-patterns via the sign-bias flip
+            bias = jnp.int32(-0x80000000)
+            return (xi + bias) < (yi + bias)
+
         # scalar lexicographic a <= b
         a_le_b = jnp.bool_(True)
         for i in reversed(range(num_keys)):
             eq = next_a[i] == next_b[i]
-            a_le_b = jnp.where(eq, a_le_b, next_a[i] < next_b[i])
+            a_le_b = jnp.where(eq, a_le_b, u32_lt_bits(next_a[i], next_b[i]))
         next_key = [
             jnp.where(a_le_b, next_a[i], next_b[i]) for i in range(num_keys)
         ]
         is_last = i2 == (w - 1)
-        last_key = [jnp.max(jnp.where(is_last, k, jnp.uint32(0))) for k in keys]
+        last_key = [onehot_i32(is_last, k) for k in keys]
         last_differs = jnp.bool_(False)
         for i in range(num_keys):
             last_differs = last_differs | (last_key[i] != next_key[i])

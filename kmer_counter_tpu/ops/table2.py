@@ -464,7 +464,12 @@ def consolidate3(
     if (CP + CR) % pallas_sort.TILE != 0 or not (tpu_backend() or _interpret):
         return consolidate2(table)
     if fold_fused is None:
-        fold_fused = os.environ.get("KMER_TPU_FOLD_FUSED", "0") == "1"
+        # Default ON: besides skipping two whole-table passes, the fused
+        # kernel avoids _fold_counts_in_place's associative_scan, whose
+        # XLA compile through this environment's remote tunnel never
+        # finished (>10 min standalone, measured round 3 — the root cause
+        # of the monolithic consolidate3 compile hang).
+        fold_fused = os.environ.get("KMER_TPU_FOLD_FUSED", "1") == "1"
     if os.environ.get("KMER_TPU_MONO_CONSOLIDATE", "0") == "1":
         # The single-program variants: never finished compiling through
         # this environment's remote tunnel (see _consolidate3_split's
