@@ -159,6 +159,7 @@ def main():
     from kmer_counter_tpu.ops import table as table_ops
     from kmer_counter_tpu.records import active_lanes
 
+    cap_mult = int(os.environ.get("BENCH_CAP_MULT", 8))
     rng = np.random.default_rng(0)
     # Genome-like workload: reads sampled from a fixed reference sequence so
     # k-mer multiplicity matches real coverage (~reads*L/genome_len x),
@@ -177,7 +178,18 @@ def main():
         f"table={capacity} slots"
     )
 
-    # Host proxy first (pure NumPy, ~20s): every banked result gets a real
+    # The remote service stalls a process's FIRST dispatch for minutes when
+    # degraded (observed 130-520s, round 3).  Absorb it on a background
+    # thread while the host proxy runs; phases join it before timing.
+    def _first_dispatch():
+        t0 = time.perf_counter()
+        float(jnp.ones((8, 128), jnp.float32).sum())
+        _log(f"first device dispatch took {time.perf_counter() - t0:.1f}s")
+
+    warm_thread = threading.Thread(target=_first_dispatch, daemon=True)
+    warm_thread.start()
+
+    # Host proxy (pure NumPy, ~20s): every banked result gets a real
     # vs_baseline.  best-of-3: the first NumPy pass can be 10-70x slow on a
     # cold allocator/cache (observed in the round-1 driver run).
     proxy_reads = reads[:1024]  # fixed size: keeps vs_baseline comparable
@@ -185,6 +197,7 @@ def main():
         host_proxy_throughput(proxy_reads, k, canonical) for _ in range(3)
     )
     _log(f"host proxy {proxy_tput / 1e6:.2f}M kmers/s")
+    warm_thread.join()
 
     dev_reads = jax.device_put(jnp.asarray(reads), device)
     n_scalar = jnp.int32(kmers_per_chunk)
@@ -242,12 +255,23 @@ def main():
             from kmer_counter_tpu.ops.pipeline import count_step_two_level
 
             cp = kmers_per_chunk  # prefix: all distinct keys must fit
-            cr = capacity - cp
+            # Raw region: cap_mult-1 chunks per consolidation (the merge +
+            # compact amortize over more chunks; sort cost is per-element —
+            # measured 125M at 4x vs 154M at 8x, probe5 round 3).
+            cr = cap_mult * kmers_per_chunk - cp
+            iters2 = cr // kmers_per_chunk  # one full cycle per timed rep
             table = jax.device_put(t2.make_table2(cp, cr, active_lanes(k)), device)
             state = {"bound": 0, "consolidations": 0}
 
             def drain2(table):
-                return int(jax.device_get(table.raw_off))
+                # Depend on BOTH halves of the state: raw_off covers the
+                # append steps, prefix_counts[0] covers the consolidation
+                # chain (sort→merge→compact).  raw_off alone is a constant
+                # after consolidate3 (raw_off=0), so fetching only it lets
+                # consolidation work escape the timing window.
+                return int(jax.device_get(table.raw_off)) + int(
+                    jax.device_get(table.prefix_counts[0])
+                )
 
             def step2(table):
                 # The steady state compiles few, SMALL programs: the fused
@@ -265,9 +289,9 @@ def main():
                 state["bound"] += kmers_per_chunk
                 return table
 
-            dt, table = _measure(step2, drain2, table, iters, label)
+            dt, table = _measure(step2, drain2, table, iters2, label)
             del table
-            tput = iters * kmers_per_chunk / dt
+            tput = iters2 * kmers_per_chunk / dt
             _log(
                 f"{label}: {dt / iters * 1e3:.1f}ms/chunk -> "
                 f"{tput / 1e6:.1f}M kmers/s "
