@@ -281,6 +281,18 @@ def _c3_sort_raw_ones(raw_lanes, raw_off):
     return s_lanes, jnp.where(is_sent, jnp.uint32(0), jnp.uint32(1))
 
 
+def _kernel_tile(n_ops: int) -> int:
+    """Merge/compact window size by operand count: wide records (k>32,
+    three+ key lanes + counts) halve the tile — at the full 64K tile a
+    5-operand merge peaks ~16.6MB of scoped VMEM against the 16MB limit
+    (measured OOM at k=55, round 3).  Halving trades one extra merge
+    stage for half the buffer footprint; (CP+CR) stays a multiple of
+    either tile."""
+    from kmer_counter_tpu.ops import pallas_sort
+
+    return pallas_sort.TILE if n_ops <= 3 else pallas_sort.TILE // 2
+
+
 @partial(jax.jit, static_argnames=("interpret", "fold"))
 def _c3_merge(p_lanes, p_counts, s_lanes, r_counts, interpret=False, fold=False):
     """Stage 2 (Pallas): one merge-path pass prefix x sorted-raw.  (No
@@ -293,6 +305,7 @@ def _c3_merge(p_lanes, p_counts, s_lanes, r_counts, interpret=False, fold=False)
         [*(p_lanes[i] for i in range(NL)), p_counts],
         [*(s_lanes[i] for i in range(NL)), r_counts],
         num_keys=NL,
+        tile=_kernel_tile(NL + 1),
         interpret=interpret,
     )
 
@@ -311,7 +324,11 @@ def _c3_compact(m_ops, folded, cp: int, interpret: bool = False):
 
     NL = len(m_ops)
     out = pallas_sort.compact_live(
-        [*m_ops, folded], folded, num_keys=NL, interpret=interpret
+        [*m_ops, folded],
+        folded,
+        num_keys=NL,
+        tile=_kernel_tile(NL + 1),
+        interpret=interpret,
     )
     live_count = jnp.sum((folded != 0).astype(jnp.int32))
     new_lanes = jnp.stack([out[i][:cp] for i in range(NL)], axis=0)

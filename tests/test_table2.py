@@ -223,3 +223,26 @@ def test_consolidate3_fold_fused_lost_detection(rng):
     table = t2.append_raw(table, lanes, allt)
     _, live, lost = t2.consolidate3(table, _interpret=True, fold_fused=True)
     assert int(lost) > 0
+
+
+def test_consolidate3_fold_fused_wide_records(rng):
+    # k=55: 4 key lanes + counts = 5 operands -> the kernels run at the
+    # halved tile (_kernel_tile; full-tile 5-op merge OOMs scoped VMEM on
+    # the chip).  CP+CR stays a multiple of both tiles.
+    k = 55
+    NL = records.active_lanes(k)
+    assert NL == 4
+    CP, CR = 16384, 49152
+    table = t2.make_table2(CP, CR, NL)
+    chunks = [random_reads(rng, 12, 70, invalid_frac=0.03) for _ in range(3)]
+    for i, reads in enumerate(chunks):
+        lanes, allt = extract_chunk_keys(jnp.asarray(reads), k, True)
+        if not t2.raw_append_fits(table, lanes.shape[1]) or i == 1:
+            table, live, lost = t2.consolidate3(
+                table, _interpret=True, fold_fused=True
+            )
+            assert int(lost) == 0
+        table = t2.append_raw(table, lanes, allt)
+    got = table_counter(table, k)
+    want = dict(golden.count_reads(np.vstack(chunks), k, True))
+    assert got == want
