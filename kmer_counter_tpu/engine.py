@@ -260,7 +260,11 @@ class CountEngine:
         def round_tile(x):
             return -(-x // grain) * grain
 
-        cp = round_tile(max(table_slots // 4, 1))
+        # 1:7 prefix:raw split — more chunks per consolidation amortizes
+        # the merge+compact passes (sort cost is per-element; measured
+        # 125M at a 1:3 split vs 154M at 1:7, BASELINE.md round 3).  The
+        # prefix pre-grows on demand when cardinality outruns it.
+        cp = round_tile(max(table_slots // 8, 1))
         cr = max(table_slots - cp, round_tile(reads_per_chunk * (line_length - k + 1)))
         if opts.verbose:
             print(
