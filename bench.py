@@ -293,7 +293,7 @@ def main():
             del table
             tput = iters2 * kmers_per_chunk / dt
             _log(
-                f"{label}: {dt / iters * 1e3:.1f}ms/chunk -> "
+                f"{label}: {dt / iters2 * 1e3:.1f}ms/chunk -> "
                 f"{tput / 1e6:.1f}M kmers/s "
                 f"({state['consolidations']} consolidations)"
             )
