@@ -147,6 +147,14 @@ def main():
 
     import jax
 
+    if os.environ.get("JAX_PLATFORMS"):
+        # Honor an explicit platform override (the CPU smoke test): the
+        # ambient sitecustomize force-selects the remote TPU backend via
+        # jax.config at import time, so the env var alone is not enough.
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     try:
         jax.config.update(
             "jax_compilation_cache_dir",
