@@ -22,6 +22,7 @@ def main():
         sys.argv[6],
         int(sys.argv[7]),
     )
+    table_slots = int(sys.argv[8]) if len(sys.argv) > 8 else 0
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -51,6 +52,7 @@ def main():
         output_file=output_file,
         table_impl=impl,
         reads_per_chunk=32,
+        table_slots=table_slots or None,
         verbose=0,
     )
     stats = MeshCountEngine(opts).run()

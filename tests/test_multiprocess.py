@@ -29,7 +29,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(tmp_path, impl: str, k: int):
+def _run_workers(tmp_path, impl: str, k: int, table_slots: int = 0):
     out = str(tmp_path / f"out_{impl}.bin")
     port = _free_port()
     env = dict(os.environ)
@@ -48,6 +48,7 @@ def _run_workers(tmp_path, impl: str, k: int):
                 out,
                 impl,
                 str(k),
+                str(table_slots),
             ],
             env=env,
             stdout=subprocess.PIPE,
@@ -95,6 +96,27 @@ def test_two_process_mesh_matches_golden(tmp_path, impl):
         )
     k = 31
     merged = _run_workers(tmp_path, impl, k)
+    from kmer_counter_tpu.io.dump import load_table
+
+    words, counts = load_table(merged, k)
+    want_words, want_counts = golden_dir_table(tmp_path, k, canonical=True)
+    np.testing.assert_array_equal(words, want_words)
+    np.testing.assert_array_equal(counts, want_counts)
+
+
+def test_two_process_mesh_grow_under_pressure(tmp_path):
+    """Tiny per-device table: cardinality forces device-side prefix
+    growth (ShardedCounter2._grow_prefix) across BOTH processes in
+    lockstep — the growth path that is impossible to exercise on a
+    single-process mesh honestly."""
+    rng = np.random.default_rng(9)
+    (tmp_path / "in").mkdir()
+    for i in range(4):
+        write_fastq(
+            tmp_path / "in" / f"f{i}.fastq", random_seqs(rng, 48, 60)
+        )
+    k = 31
+    merged = _run_workers(tmp_path, "two", k, table_slots=4000)
     from kmer_counter_tpu.io.dump import load_table
 
     words, counts = load_table(merged, k)
