@@ -246,3 +246,32 @@ def test_consolidate3_fold_fused_wide_records(rng):
     got = table_counter(table, k)
     want = dict(golden.count_reads(np.vstack(chunks), k, True))
     assert got == want
+
+
+def test_consolidate3_fold_fused_accepts_pair_row_prefix(rng):
+    # consolidate2 leaves <=2 live rows per key in the prefix; a later
+    # fused consolidation must fold those pairs together with the fresh
+    # raw region (the "fold handles any run length" contract).
+    k = 15
+    NL = records.active_lanes(k)
+    CP, CR = 16384, 49152
+    table = t2.make_table2(CP, CR, NL)
+    reads = random_reads(rng, 16, 40)
+    # two consolidate2 rounds of the SAME reads -> pair rows in the prefix
+    for _ in range(2):
+        lanes, allt = extract_chunk_keys(jnp.asarray(reads), k, False)
+        table = t2.append_raw(table, lanes, allt)
+        table, live, lost = t2.consolidate2(table)
+        assert int(lost) == 0
+    pc = np.asarray(table.prefix_counts)
+    pl = np.asarray(table.prefix_lanes)[:, pc > 0]
+    keys = [tuple(pl[:, i]) for i in range(pl.shape[1])]
+    assert len(keys) != len(set(keys)), "precondition: prefix has pair rows"
+    # third round through the FUSED path
+    lanes, allt = extract_chunk_keys(jnp.asarray(reads), k, False)
+    table = t2.append_raw(table, lanes, allt)
+    table, live, lost = t2.consolidate3(table, _interpret=True, fold_fused=True)
+    assert int(lost) == 0
+    got = table_counter(table, k)
+    want = {key: 3 * c for key, c in golden.count_reads(reads, k, False).items()}
+    assert got == want
