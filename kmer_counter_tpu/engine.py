@@ -66,6 +66,24 @@ def _finish_metrics(opts: Options, stats: RunStats, metrics) -> None:
         print(f"[metrics] {metrics.report()}")
 
 
+def _warn_checkpoint_spill(opts: Options) -> None:
+    """One warning per run when disk spill engages while checkpointing is
+    configured: spilled runs are not snapshotted, so resume covers only the
+    chunks absorbed before the first spill (ADVICE r3 — previously silent)."""
+    import sys
+
+    if opts.checkpoint_every and opts.checkpoint_dir and not getattr(
+        opts, "_ckpt_spill_warned", False
+    ):
+        opts._ckpt_spill_warned = True
+        print(
+            "[engine] warning: disk spill engaged — checkpointing is "
+            "suspended from here on (spilled runs are not snapshotted; "
+            "a resume replays from the last pre-spill checkpoint)",
+            file=sys.stderr,
+        )
+
+
 def _file_key(path: str) -> str:
     """Checkpoint-manifest key for a source file (stable across absolute/
     relative invocation differences)."""
@@ -491,6 +509,7 @@ class CountEngine:
         from kmer_counter_tpu.ops import table2 as t2
 
         opts = self.opts
+        _warn_checkpoint_spill(opts)
         if self._scheduler is None:
             self._scheduler = spill_io.MergeScheduler(
                 opts.temp_dir,
@@ -578,92 +597,86 @@ class CountEngine:
         )
         ingest.start()
 
-        import contextlib
-
         cur_L = line_length
         cur_slots = reads_per_chunk * (cur_L - k + 1)
-        _mon = contextlib.ExitStack()
-        _mon.enter_context(
-            _start_monitor(
-                opts, stats, lambda: f"bound={host_bound}/{table_slots}"
-            )
-        )
-        while True:
-            item = chunk_q.get()
-            if item is _SENTINEL:
-                break
-            if isinstance(item, Exception):
-                raise item
-            name = _file_key(item.path)
-            if item.line_length < k:
-                # No k-mers can come from these reads; skip the chunk
-                # (the golden model skips short reads too).
+        with _start_monitor(
+            opts, stats, lambda: f"bound={host_bound}/{table_slots}"
+        ):
+            while True:
+                item = chunk_q.get()
+                if item is _SENTINEL:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                name = _file_key(item.path)
+                if item.line_length < k:
+                    # No k-mers can come from these reads; skip the chunk
+                    # (the golden model skips short reads too).
+                    stats.reads += item.n_reads
+                    stats.bases += item.n_reads * item.line_length
+                    stats.per_file[name] = stats.per_file.get(name, 0) + item.n_reads
+                    continue
+                if item.line_length != cur_L:
+                    # New file with a different read length: new static shapes.
+                    cur_L = item.line_length
+                    cur_slots = reads_per_chunk * (cur_L - k + 1)
+                reads = item.reads
+                if reads.shape[0] < reads_per_chunk:
+                    # Pad the final partial chunk to the static shape; zero rows
+                    # are masked invalid by the encoder.
+                    pad = np.zeros(
+                        (reads_per_chunk - reads.shape[0], reads.shape[1]),
+                        dtype=np.uint8,
+                    )
+                    reads = np.vstack([reads, pad])
+                if host_bound + cur_slots > table_slots:
+                    with metrics.timer("consolidate"):
+                        table = table_ops.consolidate(table)
+                        host_bound = int(jax.device_get(table.offset))
+                    stats.consolidations += 1
+                    if (
+                        opts.checkpoint_every
+                        and opts.checkpoint_dir
+                        and self._scheduler is None  # spilled state isn't snapshotted
+                        and stats.consolidations % opts.checkpoint_every == 0
+                    ):
+                        # The consolidated table contains every chunk enqueued
+                        # so far (stats.reads), making the snapshot exact.
+                        from kmer_counter_tpu import checkpoint as ckpt
+
+                        ckpt.save(
+                            opts.checkpoint_dir,
+                            opts,
+                            np.asarray(jax.device_get(table.lanes[:, :host_bound])).T,
+                            np.asarray(jax.device_get(table.counts[:host_bound])),
+                            stats.reads,
+                            files=dict(stats.per_file),
+                        )
+                    if host_bound + cur_slots > table_slots:
+                        if (
+                            opts.temp_dir
+                            and table_slots * 2 > self._max_table_slots(table)
+                        ):
+                            # Cardinality outgrew the HBM budget: spill the
+                            # consolidated table as a sorted run and restart
+                            # with an empty table (BASELINE.json config 4).
+                            table, host_bound = self._spill(table, host_bound, stats)
+                        else:
+                            table = self._grow_for(table, host_bound + cur_slots)
+                            table_slots = table.lanes.shape[1]
+                with metrics.timer("dispatch"):
+                    dev_reads = jax.device_put(reads, self.device)
+                    lanes, counts = extract_chunk(dev_reads, k, opts.canonical)
+                    table = table_ops.append(
+                        table, lanes, counts, jnp_int32(cur_slots)
+                    )
+                host_bound += cur_slots
+                stats.chunks += 1
                 stats.reads += item.n_reads
                 stats.bases += item.n_reads * item.line_length
                 stats.per_file[name] = stats.per_file.get(name, 0) + item.n_reads
-                continue
-            if item.line_length != cur_L:
-                # New file with a different read length: new static shapes.
-                cur_L = item.line_length
-                cur_slots = reads_per_chunk * (cur_L - k + 1)
-            reads = item.reads
-            if reads.shape[0] < reads_per_chunk:
-                # Pad the final partial chunk to the static shape; zero rows
-                # are masked invalid by the encoder.
-                pad = np.zeros(
-                    (reads_per_chunk - reads.shape[0], reads.shape[1]),
-                    dtype=np.uint8,
-                )
-                reads = np.vstack([reads, pad])
-            if host_bound + cur_slots > table_slots:
-                with metrics.timer("consolidate"):
-                    table = table_ops.consolidate(table)
-                    host_bound = int(jax.device_get(table.offset))
-                stats.consolidations += 1
-                if (
-                    opts.checkpoint_every
-                    and opts.checkpoint_dir
-                    and self._scheduler is None  # spilled state isn't snapshotted
-                    and stats.consolidations % opts.checkpoint_every == 0
-                ):
-                    # The consolidated table contains every chunk enqueued
-                    # so far (stats.reads), making the snapshot exact.
-                    from kmer_counter_tpu import checkpoint as ckpt
-
-                    ckpt.save(
-                        opts.checkpoint_dir,
-                        opts,
-                        np.asarray(jax.device_get(table.lanes[:, :host_bound])).T,
-                        np.asarray(jax.device_get(table.counts[:host_bound])),
-                        stats.reads,
-                        files=dict(stats.per_file),
-                    )
-                if host_bound + cur_slots > table_slots:
-                    if (
-                        opts.temp_dir
-                        and table_slots * 2 > self._max_table_slots(table)
-                    ):
-                        # Cardinality outgrew the HBM budget: spill the
-                        # consolidated table as a sorted run and restart
-                        # with an empty table (BASELINE.json config 4).
-                        table, host_bound = self._spill(table, host_bound, stats)
-                    else:
-                        table = self._grow_for(table, host_bound + cur_slots)
-                        table_slots = table.lanes.shape[1]
-            with metrics.timer("dispatch"):
-                dev_reads = jax.device_put(reads, self.device)
-                lanes, counts = extract_chunk(dev_reads, k, opts.canonical)
-                table = table_ops.append(
-                    table, lanes, counts, jnp_int32(cur_slots)
-                )
-            host_bound += cur_slots
-            stats.chunks += 1
-            stats.reads += item.n_reads
-            stats.bases += item.n_reads * item.line_length
-            stats.per_file[name] = stats.per_file.get(name, 0) + item.n_reads
 
         ingest.join()
-        _mon.close()
         with metrics.timer("finalize"):
             table = table_ops.consolidate(table)
         stats.consolidations += 1
@@ -725,6 +738,7 @@ class CountEngine:
         from kmer_counter_tpu.io import spill as spill_io
 
         opts = self.opts
+        _warn_checkpoint_spill(opts)
         if self._scheduler is None:
             self._scheduler = spill_io.MergeScheduler(
                 opts.temp_dir,
@@ -1004,7 +1018,11 @@ class MeshCountEngine:
         # the very end of the globally sorted output.
         allt = counter.allt_total()
         allt_lanes = np.full((1, records.active_lanes(k)), 0xFFFFFFFF, np.uint32)
-        allt_counts = np.asarray([min(allt, 0xFFFFFFFF)], np.uint32)
+        # Counts are modular uint32 across the whole table (the record ABI's
+        # count field width; sortcount's folds wrap by design), and the
+        # per-device allt accumulators are uint32 too — so the side count is
+        # reduced mod 2^32 like every other count, not clamped (ADVICE r3).
+        allt_counts = np.asarray([allt & 0xFFFFFFFF], np.uint32)
 
         if self._scheduler is not None:
             # Spills happened: the final local tables join the runs and the
@@ -1030,6 +1048,9 @@ class MeshCountEngine:
             _, counts_all = load_table(opts.output_file, k)
             stats.total_kmers = int(counts_all.sum())
             stats.wall_seconds = time.perf_counter() - t_start
+            metrics.count("reads", stats.reads)
+            metrics.count("chunks", stats.chunks)
+            metrics.count("distinct_kmers", stats.distinct_kmers)
             _finish_metrics(opts, stats, metrics)
             return stats
 
@@ -1062,6 +1083,9 @@ class MeshCountEngine:
                 )
             stats.distinct_kmers = written
             stats.wall_seconds = time.perf_counter() - t_start
+            metrics.count("reads", stats.reads)
+            metrics.count("chunks", stats.chunks)
+            metrics.count("distinct_kmers", stats.distinct_kmers)
             _finish_metrics(opts, stats, metrics)
             return stats
 

@@ -459,7 +459,7 @@ def consolidate3(
     merge sort (118ms at 22.9M rows) with ~1/4 the cost (measured,
     docs/experiments_consolidate_tpu.py).
 
-    ``fold_fused`` (default: env KMER_TPU_FOLD_FUSED, off unless "1")
+    ``fold_fused`` (default: on; set env KMER_TPU_FOLD_FUSED=0 to disable)
     selects the merge kernel with the in-kernel count fold
     (_consolidate3_fold_impl), which skips two whole-table XLA passes.
 
