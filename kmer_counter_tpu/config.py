@@ -58,6 +58,10 @@ class Options:
     reads_per_chunk: int | None = None  # override auto chunk sizing
     table_slots: int | None = None  # override HBM accumulator capacity
     prefetch_chunks: int = 2  # host ingest pipeline depth (8-stream analog)
+    # Parser threads feeding the ingest queue (order-preserving; see
+    # io.fastq.ParallelIngest — the reference's 8-stream reader overlap,
+    # KMerCounter.cpp:117-147).  1 = the single sequential reader.
+    ingest_threads: int = 4
     checkpoint_every: int = 0  # consolidations between snapshots; 0 = off
     checkpoint_dir: str | None = None
     profile: bool = False
@@ -90,6 +94,7 @@ class Options:
         "readsPerChunk": ("reads_per_chunk", int),
         "tableSlots": ("table_slots", int),
         "prefetchChunks": ("prefetch_chunks", int),
+        "ingestThreads": ("ingest_threads", int),
         "checkpointEvery": ("checkpoint_every", int),
         "checkpointDir": ("checkpoint_dir", str),
         "profile": ("profile", _parse_bool),

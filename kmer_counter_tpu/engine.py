@@ -27,7 +27,7 @@ import numpy as np
 from kmer_counter_tpu import records
 from kmer_counter_tpu.config import Options
 from kmer_counter_tpu.io.dump import dump_table, load_table
-from kmer_counter_tpu.io.fastq import DirectoryInput
+from kmer_counter_tpu.io.fastq import DirectoryInput, ParallelIngest
 from kmer_counter_tpu.ops import extract_chunk
 from kmer_counter_tpu.ops import table as table_ops
 
@@ -64,6 +64,18 @@ def _finish_metrics(opts: Options, stats: RunStats, metrics) -> None:
     stats.metrics = metrics.snapshot()
     if opts.verbose:
         print(f"[metrics] {metrics.report()}")
+
+
+def _make_source(opts: Options, shard=None):
+    """Ingest source per config: the order-preserving multi-threaded
+    parser pool when ingestThreads > 1 (io.fastq.ParallelIngest), else the
+    sequential DirectoryInput — both produce the identical deterministic
+    chunk stream."""
+    if opts.ingest_threads > 1:
+        return ParallelIngest(
+            opts.input_dir, threads=opts.ingest_threads, shard=shard
+        )
+    return DirectoryInput(opts.input_dir, shard=shard)
 
 
 def _warn_checkpoint_spill(opts: Options) -> None:
@@ -255,7 +267,7 @@ class CountEngine:
         metrics = Metrics()
         t_start = time.perf_counter()
 
-        source = DirectoryInput(opts.input_dir)
+        source = _make_source(opts)
         usable = [L for L in source.probe_line_lengths() if L >= k]
         if not usable:
             dump_table(
@@ -535,7 +547,7 @@ class CountEngine:
         metrics = Metrics()
         t_start = time.perf_counter()
 
-        source = DirectoryInput(opts.input_dir)
+        source = _make_source(opts)
         all_lengths = source.probe_line_lengths()
         usable = [L for L in all_lengths if L >= k]
         if not usable:
@@ -789,6 +801,7 @@ class MeshCountEngine:
             opts.mesh_shape[0] if opts.mesh_shape else None
         )
         self._scheduler = None  # lazy spill-merge scheduler (io.spill)
+        self._pos_runs = None  # multi-process: spilled runs by mesh position
 
     def _use_two_level(self) -> bool:
         from kmer_counter_tpu.ops.sortcount import tpu_backend
@@ -811,21 +824,50 @@ class MeshCountEngine:
         return max(total // D, 1)
 
     def _spill_counter(self, counter, stats):
-        """Export every local device's consolidated partial table as sorted
-        runs and empty the counter (the mesh form of CountEngine._spill;
-        reference analog: FileDump.cpp:51-58 + the disk merge tree)."""
+        """Export the counter's consolidated state as sorted runs and empty
+        it (the mesh form of CountEngine._spill; reference analog:
+        FileDump.cpp:51-58 + the disk merge tree).
+
+        Single-process: every local device's partial table spills as a
+        full-key-space run; the MergeScheduler's hierarchical merge
+        produces the final output.
+
+        Multi-process: records are first routed to their prefix-range
+        owner chips (the same all_to_all collective finalize uses — every
+        process reaches this point in lockstep, the trigger being
+        host-mirrored state), then each process spills only its
+        addressable positions' ranges as per-position runs.  The final
+        assembly merges each position's runs host-side; the range
+        partition is monotonic in mesh position, so the ``.part`` files
+        still concatenate into the globally sorted table.  (This replaces
+        the round-3 hard MemoryError; reference role:
+        KMerFileMergeHandler.cpp:49-100.)"""
         import os
 
         from kmer_counter_tpu.io import spill as spill_io
 
-        if jax.process_count() > 1:
-            raise MemoryError(
-                "table shards outgrew HBM on a multi-process mesh: per-host "
-                "spill cannot produce a globally merged output without a "
-                "cross-host disk merge — raise tableSlots / gpuMemoryLimit "
-                "or run with more devices"
-            )
         opts = self.opts
+        _warn_checkpoint_spill(opts)
+        if jax.process_count() > 1:
+            if self._pos_runs is None:
+                self._pos_runs = {}
+            os.makedirs(opts.temp_dir, exist_ok=True)
+            for pos, lanes, counts in counter.finalize_local():
+                stats.spilled_runs += 1
+                path = os.path.join(
+                    opts.temp_dir,
+                    f"spill_pos{pos:05d}_{stats.spilled_runs:06d}.run",
+                )
+                self._pos_runs.setdefault(pos, []).append(
+                    spill_io.write_run(path, lanes, counts)
+                )
+                if opts.verbose:
+                    print(
+                        f"[engine] spilled range {pos}: {len(counts)} "
+                        f"records -> {path}"
+                    )
+            counter.reset()
+            return
         if self._scheduler is None:
             self._scheduler = spill_io.MergeScheduler(
                 opts.temp_dir,
@@ -861,7 +903,7 @@ class MeshCountEngine:
         shard = None
         if multi_process:
             shard = (jax.process_index(), jax.process_count())
-        source = DirectoryInput(opts.input_dir, shard=shard)
+        source = _make_source(opts, shard=shard)
         usable = [L for L in source.probe_line_lengths() if L >= k]
         if multi_process:
             # Every process must agree on the chunk shape (the step is a
@@ -1058,14 +1100,33 @@ class MeshCountEngine:
             # Multi-host: every process dumps only its addressable key
             # ranges as part files; concatenating parts in name order is
             # the globally sorted table (range partition is monotonic).
+            # When per-position spill runs exist (HBM pressure mid-run),
+            # each range's part is the host-side merge of its runs with
+            # the final routed table — still sorted, still range-local.
             import json
+            import os as _os
+
+            from kmer_counter_tpu.io import spill as spill_io
 
             written = 0
             with metrics.timer("finalize"):
                 parts_out = counter.finalize_local()
             for pos, lanes, counts in parts_out:
                 part = f"{opts.output_file}.part{pos:05d}"
-                n = dump_table(part, lanes, counts)
+                runs = (self._pos_runs or {}).get(pos)
+                if runs:
+                    final_run = _os.path.join(
+                        opts.temp_dir, f"final_pos{pos:05d}.run"
+                    )
+                    spill_io.write_run(final_run, lanes, counts)
+                    n = spill_io.merge_runs(runs + [final_run], part, k)
+                    for p in runs + [final_run]:
+                        try:
+                            _os.remove(p)
+                        except OSError:
+                            pass
+                else:
+                    n = dump_table(part, lanes, counts)
                 if allt and pos == D - 1:
                     # T^k (max key) belongs at the very end of the last range.
                     n += dump_table(part, allt_lanes, allt_counts, append=True)

@@ -199,6 +199,53 @@ class FASTQReader:
         return self._eof and not self._pending
 
 
+def scan_fastq_dir(
+    directory: str,
+    extensions=(".fastq", ".fq", ".txt"),
+    shard: tuple[int, int] | None = None,
+    shard_mode: str = "auto",
+) -> tuple[list[str], tuple[int, int] | None]:
+    """Sorted FASTQ file list + optional per-process byte shard — the
+    directory-scan logic shared by DirectoryInput and ParallelIngest.
+
+    ``shard=(index, count)`` splits ingest across count processes
+    (multi-host data sharding, SURVEY.md §2.3 'Multi-GPU/multi-node').
+    ``shard_mode``: 'files' round-robins whole files; 'bytes' gives every
+    process a byte range of *every* file (records whose header starts in
+    the range), which balances even a single giant file; 'auto' picks
+    bytes when there are fewer files than processes.
+
+    Returns (paths, byte_shard) where byte_shard is None for file mode.
+    """
+    if not os.path.isdir(directory):
+        raise FileNotFoundError(f"input directory not found: {directory}")
+    names = sorted(
+        n
+        for n in os.listdir(directory)
+        if os.path.isfile(os.path.join(directory, n))
+        and (n.endswith(extensions) or not extensions)
+    )
+    if not names:
+        raise FileNotFoundError(f"no FASTQ files in {directory}")
+    paths = [os.path.join(directory, n) for n in names]
+    byte_shard = None
+    if shard is not None:
+        idx, count = shard
+        if shard_mode == "auto":
+            shard_mode = "bytes" if len(paths) < count else "files"
+        if shard_mode == "files":
+            paths = [p for i, p in enumerate(paths) if i % count == idx]
+            if not paths:
+                raise FileNotFoundError(
+                    f"no FASTQ files for shard {idx}/{count} in {directory}"
+                )
+        elif shard_mode == "bytes":
+            byte_shard = (idx, count)
+        else:
+            raise ValueError(f"unknown shard_mode: {shard_mode!r}")
+    return paths, byte_shard
+
+
 class DirectoryInput:
     """Serves chunks across every FASTQ file in a directory
     (InputFileHandler analog, InputFileHandler.cpp:22-105).
@@ -215,44 +262,10 @@ class DirectoryInput:
         shard: tuple[int, int] | None = None,
         shard_mode: str = "auto",
     ):
-        """``shard=(index, count)`` splits ingest across count processes
-        (multi-host data sharding, SURVEY.md §2.3 'Multi-GPU/multi-node').
-
-        ``shard_mode``: 'files' round-robins whole files; 'bytes' gives
-        every process a byte range of *every* file (records whose header
-        starts in the range), which balances even a single giant file;
-        'auto' picks bytes when there are fewer files than processes.
-        """
-        if not os.path.isdir(directory):
-            raise FileNotFoundError(f"input directory not found: {directory}")
-        names = sorted(
-            n
-            for n in os.listdir(directory)
-            if os.path.isfile(os.path.join(directory, n))
-            and (n.endswith(extensions) or not extensions)
+        """See ``scan_fastq_dir`` for the shard semantics."""
+        self.paths, self._byte_shard = scan_fastq_dir(
+            directory, extensions, shard, shard_mode
         )
-        if not names:
-            raise FileNotFoundError(f"no FASTQ files in {directory}")
-        self.paths = [os.path.join(directory, n) for n in names]
-        self._byte_shard = None
-        if shard is not None:
-            idx, count = shard
-            if shard_mode == "auto":
-                shard_mode = "bytes" if len(self.paths) < count else "files"
-            if shard_mode == "files":
-                self.paths = [
-                    p for i, p in enumerate(self.paths) if i % count == idx
-                ]
-                if not self.paths:
-                    raise FileNotFoundError(
-                        f"no FASTQ files for shard {idx}/{count} in {directory}"
-                    )
-            elif shard_mode == "bytes":
-                self._byte_shard = (idx, count)
-                if use_native is None:
-                    use_native = False  # byte ranges are Python-parser only
-            else:
-                raise ValueError(f"unknown shard_mode: {shard_mode!r}")
         self._factory = self._pick_factory(use_native)
         self._index = -1
         self._reader = None
@@ -322,7 +335,11 @@ class DirectoryInput:
         idx, count = self._byte_shard
         size = os.path.getsize(path)
         byte_range = (size * idx // count, size * (idx + 1) // count)
-        return FASTQReader(path, byte_range=byte_range)
+        try:
+            return self._factory(path, byte_range=byte_range)
+        except RuntimeError:
+            # Native .so built without kc_open_range: Python fallback.
+            return FASTQReader(path, byte_range=byte_range)
 
     def _advance(self):
         if self._reader is not None:
@@ -346,3 +363,253 @@ class DirectoryInput:
         if self._reader is not None:
             self._reader.close()
             self._reader = None
+
+
+class ParallelIngest:
+    """Order-preserving multi-threaded FASTQ ingest (DirectoryInput drop-in).
+
+    N parser threads work on independent *units* — whole files, or
+    byte-range segments of large files (the FASTQReader record-resync
+    guarantees adjacent segments partition a file exactly) — while the
+    consumer reassembles their chunks in the order the sequential
+    DirectoryInput produces: sorted files, reads in file order, chunks
+    never spanning files.  Checkpoint resume therefore sees the identical
+    deterministic read sequence.
+
+    This is the TPU analog of the reference's 8-stream reader overlap +
+    per-chunk worker threads (KMerCounter.cpp:117-147): one Python parser
+    thread tops out far below a 150M+ k-mers/s chip on a real NVMe array
+    (docs/ROADMAP.md), so parsing must fan out while the device runs.
+
+    Memory stays bounded: a worker may only start a unit within ``window``
+    units of the consumer's position, and each unit buffers at most
+    ``max_buffered`` parsed chunks (blocking the worker beyond that).
+    """
+
+    def __init__(
+        self,
+        directory: str,
+        threads: int = 4,
+        extensions=(".fastq", ".fq", ".txt"),
+        use_native: bool | None = None,
+        shard: tuple[int, int] | None = None,
+        shard_mode: str = "auto",
+        segment_bytes: int = 64 << 20,
+        unit_chunk_reads: int = 16384,
+        max_buffered: int = 4,
+    ):
+        import queue
+        import threading
+
+        self.paths, byte_shard = scan_fastq_dir(
+            directory, extensions, shard, shard_mode
+        )
+        self._factory = DirectoryInput._pick_factory(use_native)
+        self._chunk_reads = unit_chunk_reads
+        self._units: list[tuple[str, tuple[int, int] | None, int]] = []
+        for fi, p in enumerate(self.paths):
+            try:
+                size = os.path.getsize(p)
+            except OSError:
+                size = 0
+            lo, hi = 0, size
+            if byte_shard is not None:
+                idx, count = byte_shard
+                lo, hi = size * idx // count, size * (idx + 1) // count
+            span = max(hi - lo, 0)
+            nseg = max(1, min(threads, span // max(segment_bytes, 1)))
+            whole = byte_shard is None and nseg == 1
+            for s in range(int(nseg)):
+                a = lo + span * s // nseg
+                b = lo + span * (s + 1) // nseg
+                self._units.append((p, None if whole else (a, b), fi))
+        self._buffers = [
+            queue.Queue(maxsize=max_buffered) for _ in self._units
+        ]
+        self._cv = threading.Condition()
+        self._next_unit = 0
+        self._consumer_pos = 0
+        self._window = threads + 2
+        self._closed = False
+        # consumer state
+        self._cur = 0  # unit index being consumed
+        self._cur_chunk: FASTQChunk | None = None
+        self._cur_off = 0
+        self._threads = [
+            threading.Thread(target=self._worker, daemon=True)
+            for _ in range(max(threads, 1))
+        ]
+        for t in self._threads:
+            t.start()
+
+    # ---- workers ---------------------------------------------------------
+
+    def _worker(self):
+        import queue
+
+        while True:
+            with self._cv:
+                while True:
+                    if self._closed:
+                        return
+                    if self._next_unit >= len(self._units):
+                        return
+                    if self._next_unit < self._consumer_pos + self._window:
+                        i = self._next_unit
+                        self._next_unit += 1
+                        break
+                    self._cv.wait(0.2)
+            path, br, _fi = self._units[i]
+            q = self._buffers[i]
+
+            def put(item):
+                while True:
+                    try:
+                        q.put(item, timeout=0.2)
+                        return
+                    except queue.Full:
+                        if self._closed:
+                            raise _IngestClosed()
+
+            try:
+                reader = self._open_unit(path, br)
+                try:
+                    while True:
+                        c = reader.read_chunk(self._chunk_reads)
+                        if c is None:
+                            break
+                        c.path = path
+                        put(c)
+                finally:
+                    reader.close()
+            except _IngestClosed:
+                return
+            except (OSError, ValueError) as e:
+                try:
+                    put(e)  # surfaced by the consumer as a skip warning
+                except _IngestClosed:
+                    return
+            try:
+                put(None)  # unit sentinel
+            except _IngestClosed:
+                return
+
+    def _open_unit(self, path: str, br: tuple[int, int] | None):
+        if br is None:
+            return self._factory(path)
+        try:
+            return self._factory(path, byte_range=br)
+        except RuntimeError:
+            return FASTQReader(path, byte_range=br)
+
+    # ---- DirectoryInput-compatible consumer API --------------------------
+
+    def probe_line_lengths(self) -> list[int]:
+        lengths = []
+        for path in self.paths:
+            try:
+                probe = self._factory(path)
+            except (OSError, ValueError):
+                continue
+            lengths.append(probe.line_length)
+            probe.close()
+        return lengths
+
+    @property
+    def line_length(self) -> int | None:
+        path, _br, _fi = (
+            self._units[self._cur] if self._cur < len(self._units) else
+            (None, None, None)
+        )
+        if path is None:
+            return None
+        try:
+            probe = self._factory(path)
+        except (OSError, ValueError):
+            return None
+        L = probe.line_length
+        probe.close()
+        return L
+
+    def _advance_unit(self):
+        self._cur += 1
+        with self._cv:
+            self._consumer_pos = self._cur
+            self._cv.notify_all()
+
+    def _peek_block(self):
+        """(rows_view, file_idx, line_length, path) of the next unconsumed
+        rows, or None when all input is drained.  Does not consume."""
+        import sys
+
+        while self._cur < len(self._units):
+            if self._cur_chunk is not None:
+                c = self._cur_chunk
+                return (
+                    c.reads[self._cur_off :],
+                    self._units[self._cur][2],
+                    c.line_length,
+                    c.path,
+                )
+            item = self._buffers[self._cur].get()
+            if item is None:
+                self._advance_unit()
+                continue
+            if isinstance(item, Exception):
+                path = self._units[self._cur][0]
+                print(
+                    f"[ingest] skipping rest of {path}: {item}",
+                    file=sys.stderr,
+                )
+                continue  # unit sentinel follows the error
+            self._cur_chunk = item
+            self._cur_off = 0
+        return None
+
+    def _consume(self, n: int):
+        self._cur_off += n
+        if self._cur_chunk is not None and self._cur_off >= self._cur_chunk.n_reads:
+            self._cur_chunk = None
+            self._cur_off = 0
+
+    def read_chunk(self, max_reads: int) -> FASTQChunk | None:
+        blocks = []
+        have = 0
+        fi0 = None
+        L = 0
+        path0 = ""
+        while have < max_reads:
+            got = self._peek_block()
+            if got is None:
+                break
+            rows, fi, L_b, path = got
+            if fi0 is None:
+                fi0, L, path0 = fi, L_b, path
+            elif fi != fi0:
+                break  # a chunk never spans files (DirectoryInput contract)
+            take = min(max_reads - have, len(rows))
+            blocks.append(rows[:take])
+            self._consume(take)
+            have += take
+        if have == 0:
+            return None
+        reads = blocks[0] if len(blocks) == 1 else np.vstack(blocks)
+        # views may alias a buffered chunk being released; copy defensively
+        return FASTQChunk(np.ascontiguousarray(reads), have, L, path0)
+
+    def close(self):
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+        for q in self._buffers:
+            try:
+                while True:
+                    q.get_nowait()
+            except Exception:
+                pass
+        for t in self._threads:
+            t.join(timeout=2.0)
+
+
+class _IngestClosed(Exception):
+    """Internal: ParallelIngest.close() interrupted a blocked worker."""

@@ -60,6 +60,15 @@ def load_library():
                 continue
             lib.kc_open.restype = ctypes.c_void_p
             lib.kc_open.argtypes = [ctypes.c_char_p]
+            try:
+                lib.kc_open_range.restype = ctypes.c_void_p
+                lib.kc_open_range.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_longlong,
+                    ctypes.c_longlong,
+                ]
+            except AttributeError:
+                pass  # older .so without range support; Python fallback
             lib.kc_line_length.restype = ctypes.c_long
             lib.kc_line_length.argtypes = [ctypes.c_void_p]
             lib.kc_read_chunk.restype = ctypes.c_long
@@ -87,15 +96,22 @@ def available() -> bool:
 
 
 class NativeFASTQReader:
-    """Drop-in replacement for io.fastq.FASTQReader backed by C++."""
+    """Drop-in replacement for io.fastq.FASTQReader backed by C++ (the
+    ``byte_range`` record-resync semantics included — kc_open_range)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, byte_range: tuple[int, int] | None = None):
         lib = load_library()
         if lib is None:
             raise RuntimeError("native library not built (make -C native)")
         self._lib = lib
         self.path = path
-        self._h = lib.kc_open(path.encode())
+        if byte_range is not None:
+            if not hasattr(lib, "kc_open_range"):
+                raise RuntimeError("native library lacks kc_open_range")
+            start, end = byte_range
+            self._h = lib.kc_open_range(path.encode(), max(start, 0), end)
+        else:
+            self._h = lib.kc_open(path.encode())
         if not self._h:
             raise ValueError(f"{path}: not a FASTQ file (native parser)")
         self.line_length = int(lib.kc_line_length(self._h))

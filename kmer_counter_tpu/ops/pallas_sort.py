@@ -142,6 +142,19 @@ def _odd_even_merge_stages(ops: list, num_keys: int, half: int, i):
     return ops
 
 
+def _bitonic_merge_stages(ops: list, num_keys: int, w: int, i):
+    """Sort a BITONIC w-element sequence ascending: stages d = w/2 .. 1,
+    CE(j, j^d) with the d-bit-clear side as lower — log2(w) stages on a
+    w buffer versus Batcher's log2(2w)+1 on a 2w buffer (the half-merge
+    schedule validated in docs/experiments_bitonic_half_merge.py)."""
+    d = w // 2
+    while d >= 1:
+        lower = (i & d) == 0
+        ops = _ce(ops, num_keys, d, lower, ~lower)
+        d //= 2
+    return ops
+
+
 def _leaf_sort_body(ops: list, num_keys: int, tile: int):
     """Odd-even mergesort of every tile-element block of the buffer."""
     i = _flat_iota(ops[0].shape)
@@ -465,6 +478,77 @@ def _diag_splits_pair(a_keys, b_keys, num_keys: int, na: int, nb: int, w: int):
     return a_start, a_end, b_start, b_end
 
 
+def _diag_splits_pair_desc(
+    a_keys, b_desc_keys, num_keys: int, na: int, nb: int, w: int
+):
+    """_diag_splits_pair for a DESCENDING-stored B: identical merge-path
+    search over the ascending view b_asc[j] = b_desc[nb-1-j] (gathers at
+    reversed indices).  Returned b offsets are ASCENDING-view positions;
+    the kernel converts [b_start, b_end) to the desc-space row range
+    [nb-b_end, nb-b_start) read forward."""
+    n = na + nb
+    n_tiles = n // w
+    t = jnp.arange(n_tiles, dtype=jnp.int32)
+    d0 = t * w
+    lo = jnp.maximum(0, d0 - nb)
+    hi = jnp.minimum(d0, na)
+
+    def gather_a(idx):
+        return [jnp.take(a_keys[i], idx, mode="clip") for i in range(num_keys)]
+
+    def gather_b_asc(idx):
+        ridx = jnp.int32(nb - 1) - idx
+        return [
+            jnp.take(b_desc_keys[i], ridx, mode="clip") for i in range(num_keys)
+        ]
+
+    steps = max(1, int(np.ceil(np.log2(max(na, 2)))) + 1)
+    for _ in range(steps):
+        mid = (lo + hi + 1) // 2
+        ak = gather_a(jnp.maximum(mid - 1, 0))
+        bk = gather_b_asc(jnp.clip(d0 - mid, 0, max(nb - 1, 0)))
+        ok = (mid <= lo) | (d0 - mid >= nb) | _lex_le_gathered(ak, bk, num_keys)
+        lo = jnp.where(ok, mid, lo)
+        hi = jnp.where(ok, hi, mid - 1)
+
+    a_start = lo
+    b_start = d0 - lo
+    a_end = jnp.concatenate([a_start[1:], jnp.asarray([na], jnp.int32)])
+    b_end = jnp.concatenate([b_start[1:], jnp.asarray([nb], jnp.int32)])
+    return a_start, a_end, b_start, b_end
+
+
+def _next_boundary_keys_desc(a_keys, b_desc_keys, num_keys, na, nb, a_end, b_end):
+    """Per output tile, the merged stream's NEXT element (the first element
+    of tile t+1): lexmin of A[a_end[t]] and B_asc[b_end[t]], an exhausted
+    side reading as the sentinel.  Computed XLA-side (tiny gathers) and
+    prefetched, replacing the fused-fold kernel's in-kernel one-hot window
+    extraction.  Returned as int32 bit-patterns (prefetch scalars are
+    i32; the kernel only ever bit-compares them)."""
+    a_next = [
+        jnp.where(
+            a_end < na,
+            jnp.take(a_keys[i], jnp.minimum(a_end, max(na - 1, 0)), mode="clip"),
+            SENTINEL,
+        )
+        for i in range(num_keys)
+    ]
+    b_idx = jnp.clip(jnp.int32(nb - 1) - b_end, 0, max(nb - 1, 0))
+    b_next = [
+        jnp.where(
+            b_end < nb, jnp.take(b_desc_keys[i], b_idx, mode="clip"), SENTINEL
+        )
+        for i in range(num_keys)
+    ]
+    a_le_b = _lex_le_gathered(a_next, b_next, num_keys)
+    return [
+        jax.lax.bitcast_convert_type(
+            jnp.where(a_le_b, a_next[i], b_next[i]), jnp.int32
+        )
+        for i in range(num_keys)
+    ]
+
+
 def merge_sorted_runs(
     a_ops: Sequence[jnp.ndarray],
     b_ops: Sequence[jnp.ndarray],
@@ -552,6 +636,131 @@ def merge_sorted_runs_fold(
         a_pad, b_pad, num_keys, n, na, nb,
         a_start, a_end, b_start, b_end, tile, interpret,
     )
+
+
+def merge_sorted_runs_fold_bitonic(
+    a_ops: Sequence[jnp.ndarray],
+    b_desc_ops: Sequence[jnp.ndarray],
+    num_keys: int,
+    tile: int = TILE,
+    interpret: bool = False,
+) -> tuple:
+    """merge_sorted_runs_fold with B stored DESCENDING and a bitonic
+    half-merge in the kernel (docs/ROADMAP.md round-4 item).
+
+    Merge-path guarantees each output tile consumes exactly ``w = la+lb``
+    elements, so the tile IS the union of its two windows — no selection
+    needed, only a sort of w elements known to be [A-window ascending |
+    B-window descending]: a BITONIC sequence.  The kernel therefore runs
+    log2(w) = 16 compare-exchange stages on a w-element buffer instead of
+    Batcher's log2(2w)+1 = 17 stages on 2w — ~2.1x less VPU stage work
+    (the merge is VPU-bound, BASELINE.md round 3), and the halved live
+    buffer footprint also lets wide records (4 key lanes + count) keep
+    the full 64K tile inside the 16MB scoped-VMEM limit.
+
+    Differences from merge_sorted_runs_fold:
+      * ``b_desc_ops`` must be sorted DESCENDING by the first num_keys
+        operands (table2._c3_sort_raw_desc produces this by sorting
+        bit-flipped lanes); the count operand rides in the same order.
+      * No window sentinel-masking is needed (la+lb = w exactly), so
+        dead B rows must carry count 0 — they merge wherever their key
+        says (all-zero keys at the FRONT of the stream) and fold to
+        0-count rows that compact_live removes.
+      * The merged stream's next-tile boundary keys are precomputed
+        XLA-side and prefetched (no in-kernel window extraction).
+
+    Same contract otherwise: returns ascending merged operands with each
+    duplicate-key run's total count on the run's LAST row and 0 elsewhere.
+    """
+    a_ops = [v.astype(jnp.uint32) for v in a_ops]
+    b_ops = [v.astype(jnp.uint32) for v in b_desc_ops]
+    na, nb = a_ops[0].shape[0], b_ops[0].shape[0]
+    n = na + nb
+    if n % tile != 0:
+        raise ValueError(
+            f"merge_sorted_runs_fold_bitonic requires (na+nb) % {tile} == 0"
+        )
+    if len(a_ops) != num_keys + 1 or len(b_ops) != num_keys + 1:
+        raise ValueError("operands must be num_keys key lanes + one count")
+    a_start, a_end, b_start, b_end = _diag_splits_pair_desc(
+        a_ops[:num_keys], b_ops[:num_keys], num_keys, na, nb, tile
+    )
+    next_keys = _next_boundary_keys_desc(
+        a_ops[:num_keys], b_ops[:num_keys], num_keys, na, nb, a_end, b_end
+    )
+    pad = _rows_pad_elements(tile)
+    a_pad = [jnp.concatenate([v, jnp.zeros((pad,), jnp.uint32)]) for v in a_ops]
+    b_pad = [jnp.concatenate([v, jnp.zeros((pad,), jnp.uint32)]) for v in b_ops]
+    return _merge_pair_fold_bitonic_call(
+        a_pad, b_pad, num_keys, n, nb,
+        a_start, a_end, b_start, b_end, next_keys, tile, interpret,
+    )
+
+
+def _fold_tile_counts(keys, counts, last_differs, carry_ref, w, num_keys):
+    """The fused-fold math shared by the odd-even and bitonic merge
+    kernels: given one merged sorted output tile (keys, counts), a scalar
+    saying whether the tile's last key differs from the merged stream's
+    NEXT element, and the SMEM carry of the run spanning the tile edge,
+    return the folded counts (each duplicate-key run's total on its LAST
+    row, 0 elsewhere, sentinel runs dead) and update the carry."""
+    i2 = _flat_iota(keys[0].shape)
+    is_last = i2 == (w - 1)
+    # within-tile run ends: key[i] != key[i+1]
+    nxt = [_partner_down(k, 1) for k in keys]
+    differs = jnp.zeros(keys[0].shape, dtype=jnp.bool_)
+    for i in range(num_keys):
+        differs = differs | (keys[i] != nxt[i])
+    is_end = (is_last & last_differs) | (~is_last & differs)
+    is_sent = jnp.ones(keys[0].shape, dtype=jnp.bool_)
+    for i in range(num_keys):
+        is_sent = is_sent & (keys[i] == SENTINEL)
+
+    c_i32 = counts.astype(jnp.int32)
+    incl = _tile_cumsum_excl(c_i32, w) + c_i32
+    # prev_end_incl[i]: incl at the nearest end-row strictly before i
+    # (0 when none) — fill-from-left of end incl values, shifted by 1.
+    end_i32 = jnp.where(is_end, jnp.int32(1), jnp.int32(0))
+    at_or_before_val = jnp.where(is_end, incl, jnp.int32(0))
+    at_or_before_flag = end_i32
+    d = 1
+    while d < w:
+        pv = _partner_up(at_or_before_val, d)
+        pf = _partner_up(at_or_before_flag, d)
+        in_range = i2 >= d
+        take = in_range & (at_or_before_flag == 0) & (pf != 0)
+        at_or_before_val = jnp.where(take, pv, at_or_before_val)
+        at_or_before_flag = jnp.where(take, pf, at_or_before_flag)
+        d *= 2
+    pe_val = _partner_up(at_or_before_val, 1)
+    pe_flag = _partner_up(at_or_before_flag, 1)
+    first = i2 == 0
+    prev_end_incl = jnp.where(
+        first, jnp.int32(0), jnp.where(pe_flag != 0, pe_val, jnp.int32(0))
+    )
+    has_prev_end = (~first) & (pe_flag != 0)
+
+    carry = carry_ref[0]
+    total = incl - prev_end_incl + jnp.where(
+        has_prev_end, jnp.int32(0), carry
+    )
+    out_counts = jnp.where(
+        is_end & ~is_sent, total.astype(jnp.uint32), jnp.uint32(0)
+    )
+    # New carry: counts accumulated past the last end row (plus the old
+    # carry when no run ended in this tile at all).  Extract via the
+    # one-hot sum at the last element — the fill-from-left scan's value
+    # there IS the last end row's incl (wraparound-safe, unlike a max).
+    def at_last(v):
+        return jnp.sum(jnp.where(is_last, v, jnp.int32(0)))
+
+    incl_last = at_last(incl)
+    last_end_incl = at_last(at_or_before_val)
+    any_end = at_last(at_or_before_flag) != 0
+    carry_ref[0] = jnp.where(
+        any_end, incl_last - last_end_incl, carry + incl_last
+    )
+    return out_counts
 
 
 def _merge_pair_fold_call(
@@ -678,57 +887,8 @@ def _merge_pair_fold_call(
         for i in range(num_keys):
             last_differs = last_differs | (last_key[i] != next_key[i])
 
-        # within-tile run ends: key[i] != key[i+1]
-        nxt = [_partner_down(k, 1) for k in keys]
-        differs = jnp.zeros(keys[0].shape, dtype=jnp.bool_)
-        for i in range(num_keys):
-            differs = differs | (keys[i] != nxt[i])
-        is_end = (is_last & last_differs) | (~is_last & differs)
-        is_sent = jnp.ones(keys[0].shape, dtype=jnp.bool_)
-        for i in range(num_keys):
-            is_sent = is_sent & (keys[i] == SENTINEL)
-
-        c_i32 = counts.astype(jnp.int32)
-        incl = _tile_cumsum_excl(c_i32, w) + c_i32
-        # prev_end_incl[i]: incl at the nearest end-row strictly before i
-        # (0 when none) — fill-from-left of end incl values, shifted by 1.
-        end_i32 = jnp.where(is_end, jnp.int32(1), jnp.int32(0))
-        at_or_before_val = jnp.where(is_end, incl, jnp.int32(0))
-        at_or_before_flag = end_i32
-        d = 1
-        while d < w:
-            pv = _partner_up(at_or_before_val, d)
-            pf = _partner_up(at_or_before_flag, d)
-            in_range = i2 >= d
-            take = in_range & (at_or_before_flag == 0) & (pf != 0)
-            at_or_before_val = jnp.where(take, pv, at_or_before_val)
-            at_or_before_flag = jnp.where(take, pf, at_or_before_flag)
-            d *= 2
-        pe_val = _partner_up(at_or_before_val, 1)
-        pe_flag = _partner_up(at_or_before_flag, 1)
-        first = i2 == 0
-        prev_end_incl = jnp.where(first, jnp.int32(0), jnp.where(pe_flag != 0, pe_val, jnp.int32(0)))
-        has_prev_end = (~first) & (pe_flag != 0)
-
-        carry = carry_ref[0]
-        total = incl - prev_end_incl + jnp.where(
-            has_prev_end, jnp.int32(0), carry
-        )
-        out_counts = jnp.where(
-            is_end & ~is_sent, total.astype(jnp.uint32), jnp.uint32(0)
-        )
-        # New carry: counts accumulated past the last end row (plus the old
-        # carry when no run ended in this tile at all).  Extract via the
-        # one-hot sum at the last element — the fill-from-left scan's value
-        # there IS the last end row's incl (wraparound-safe, unlike a max).
-        def at_last(v):
-            return jnp.sum(jnp.where(is_last, v, jnp.int32(0)))
-
-        incl_last = at_last(incl)
-        last_end_incl = at_last(at_or_before_val)
-        any_end = at_last(at_or_before_flag) != 0
-        carry_ref[0] = jnp.where(
-            any_end, incl_last - last_end_incl, carry + incl_last
+        out_counts = _fold_tile_counts(
+            keys, counts, last_differs, carry_ref, w, num_keys
         )
 
         for i in range(num_keys):
@@ -770,6 +930,139 @@ def _merge_pair_fold_call(
     return tuple(v.reshape(n) for v in out)
 
 
+def _merge_pair_fold_bitonic_call(
+    a_pad, b_pad, num_keys, n, nb,
+    a_start, a_end, b_start, b_end, next_keys, w, interpret,
+):
+    """One bitonic half-merge pass over (A ascending, B descending) with
+    the in-kernel run-total fold (see merge_sorted_runs_fold_bitonic)."""
+    n_ops = len(a_pad)
+    wr = _rows(w)
+    buf_rows = wr + _WIN_EXTRA_ROWS
+    n_tiles = n // w
+    n_pref = 4 + num_keys
+
+    def kernel(*refs):
+        astart_r, aend_r, bstart_r, bend_r = refs[:4]
+        nk_refs = refs[4:n_pref]
+        a_ins = refs[n_pref : n_pref + n_ops]
+        b_ins = refs[n_pref + n_ops : n_pref + 2 * n_ops]
+        outs = refs[n_pref + 2 * n_ops : n_pref + 3 * n_ops]
+        bufs = refs[n_pref + 3 * n_ops : n_pref + 5 * n_ops]
+        carry_ref = refs[n_pref + 5 * n_ops]
+        sems = refs[n_pref + 5 * n_ops + 1]
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            carry_ref[0] = 0
+
+        a_s, a_e = astart_r[t], aend_r[t]
+        b_s, b_e = bstart_r[t], bend_r[t]
+        la = a_e - a_s
+        lb = b_e - b_s
+        # B's consumed asc-range [b_s, b_e) is the desc-space element range
+        # [nb - b_e, nb - b_s), read FORWARD (descending values).
+        q = jnp.int32(nb) - b_e
+        a_row = a_s // _LANES
+        b_row = q // _LANES
+
+        copies = []
+        for i in range(n_ops):
+            copies.append(
+                pltpu.make_async_copy(
+                    a_ins[i].at[pl.ds(a_row, wr + 1), :],
+                    bufs[2 * i].at[pl.ds(0, wr + 1), :],
+                    sems.at[2 * i],
+                )
+            )
+            copies.append(
+                pltpu.make_async_copy(
+                    b_ins[i].at[pl.ds(b_row, wr + 1), :],
+                    bufs[2 * i + 1].at[pl.ds(0, wr + 1), :],
+                    sems.at[2 * i + 1],
+                )
+            )
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+        ea = a_s - a_row * _LANES
+        eq = q - b_row * _LANES
+        i2 = _flat_iota((wr, _LANES))
+
+        # z[i] = A[a_s + i] for i < la, else B_desc[q + (i - la)]: one
+        # w-element [ascending | descending] = bitonic buffer per operand.
+        # la + lb = w exactly (merge-path), so every slot is live — no
+        # sentinel masking at all.
+        z_ops = []
+        for i in range(n_ops):
+            av = _dyn_shift_down(bufs[2 * i][:], ea)[:wr]
+            bw = _dyn_shift_down(bufs[2 * i + 1][:], eq)[:wr]
+            zb = _dyn_shift_up_big(bw, la)
+            z_ops.append(jnp.where(i2 < la, av, zb))
+
+        merged = _bitonic_merge_stages(z_ops, num_keys, w, i2)
+        keys = merged[:num_keys]
+        counts = merged[num_keys]
+
+        # The merged stream's NEXT element is prefetched (XLA-side lexmin
+        # of the two runs' first unconsumed keys, sentinel when both are
+        # exhausted); the tile's last key is one-hot-extracted from the
+        # resident result (Mosaic: no unsigned reductions / scalar
+        # bitcasts — bitcast the vector to i32, mask + SUM).
+        is_last = i2 == (w - 1)
+        last_differs = jnp.bool_(False)
+        for i in range(num_keys):
+            ki = jax.lax.bitcast_convert_type(keys[i], jnp.int32)
+            last_i = jnp.sum(jnp.where(is_last, ki, jnp.int32(0)))
+            last_differs = last_differs | (last_i != nk_refs[i][t])
+
+        out_counts = _fold_tile_counts(
+            keys, counts, last_differs, carry_ref, w, num_keys
+        )
+
+        for i in range(num_keys):
+            outs[i][:] = keys[i]
+        outs[num_keys][:] = out_counts
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=n_pref,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 * n_ops),
+        out_specs=[
+            pl.BlockSpec(
+                (wr, _LANES), lambda t, *_refs: (t, 0), memory_space=pltpu.VMEM
+            )
+        ]
+        * n_ops,
+        scratch_shapes=[pltpu.VMEM((buf_rows, _LANES), jnp.uint32)] * (2 * n_ops)
+        + [pltpu.SMEM((1,), jnp.int32)]
+        + [pltpu.SemaphoreType.DMA((2 * n_ops,))],
+    )
+    na_rows = a_pad[0].shape[0] // _LANES
+    nb_rows = b_pad[0].shape[0] // _LANES
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.uint32)
+            for _ in range(n_ops)
+        ],
+        interpret=interpret,
+    )(
+        a_start,
+        a_end,
+        b_start,
+        b_end,
+        *next_keys,
+        *[v.reshape(na_rows, _LANES) for v in a_pad],
+        *[v.reshape(nb_rows, _LANES) for v in b_pad],
+    )
+    return tuple(v.reshape(n) for v in out)
+
+
 def _shift_up_masked(v, d: int, i):
     """x[i] += x[i-d] for i >= d (one prefix-scan doubling stage)."""
     return v + jnp.where(i >= d, _partner_up(v, d), jnp.zeros_like(v))
@@ -796,6 +1089,22 @@ def _dyn_shift_up(v, shift):
     u = pltpu.roll(v, shift, 1)
     u_prev = pltpu.roll(u, 1, 0)
     return jnp.where(lane >= shift, u, u_prev)
+
+
+def _dyn_shift_up_big(v, shift):
+    """v shifted up by a traced 0..rows*128 element offset on the
+    flattened index: out[i] = v[i - shift] — a traced ROW roll composed
+    with the 0..127 lane shift (circular garbage in the first ``shift``
+    elements; callers blend them)."""
+    rows = v.shape[0]
+    r = shift // _LANES
+    dl = shift - r * _LANES
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    u = pltpu.roll(v, dl, 1)
+    # roll amounts kept in [0, rows) explicitly (shift may equal rows*128)
+    u_here = pltpu.roll(u, jax.lax.rem(r, rows), 0)
+    u_prev = pltpu.roll(u, jax.lax.rem(r + 1, rows), 0)
+    return jnp.where(lane >= dl, u_here, u_prev)
 
 
 def compact_live(

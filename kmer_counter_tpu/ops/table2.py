@@ -284,13 +284,60 @@ def _c3_sort_raw_ones(raw_lanes, raw_off):
 def _kernel_tile(n_ops: int) -> int:
     """Merge/compact window size by operand count: wide records (k>32,
     three+ key lanes + counts) halve the tile — at the full 64K tile a
-    5-operand merge peaks ~16.6MB of scoped VMEM against the 16MB limit
-    (measured OOM at k=55, round 3).  Halving trades one extra merge
-    stage for half the buffer footprint; (CP+CR) stays a multiple of
-    either tile."""
+    5-operand ODD-EVEN merge peaks ~16.6MB of scoped VMEM against the
+    16MB limit (measured OOM at k=55, round 3).  Halving trades one
+    extra merge stage for half the buffer footprint; (CP+CR) stays a
+    multiple of either tile.  The bitonic half-merge path keeps the full
+    tile at every width (its live buffers are w-element, not 2w — see
+    _c3_merge_bitonic)."""
     from kmer_counter_tpu.ops import pallas_sort
 
     return pallas_sort.TILE if n_ops <= 3 else pallas_sort.TILE // 2
+
+
+@jax.jit
+def _c3_sort_raw_desc(raw_lanes, raw_off):
+    """Stage 1 for the bitonic half-merge path: the raw region sorted
+    DESCENDING, with 0/1 liveness for the in-kernel fold.
+
+    Descending order comes from sorting the BIT-FLIPPED lanes ascending
+    and unflipping.  Dead rows (at/past raw_off) are masked to the
+    flip-space sentinel, so they sort to the END of the flip-ascending
+    array — where they unflip to real all-zero keys, bit-identical to a
+    genuine A^k record.  Liveness therefore cannot come from the keys;
+    it is POSITIONAL: every row with flip-key < sentinel is live and
+    sorts strictly before the tie-run, so exactly the first ``raw_off``
+    rows take liveness 1.  Rows inside the all-zero tie-run are
+    interchangeable (identical keys — the fold only needs the run's
+    total), so the positional assignment counts genuine A^k records
+    correctly and gives every dead row 0."""
+    NL, CR = raw_lanes.shape
+    idx = jnp.arange(CR, dtype=jnp.int32)
+    live = idx < raw_off
+    eff = jnp.where(live[None, :], ~raw_lanes, SENTINEL)
+    s_ops = jax.lax.sort(tuple(eff[i] for i in range(NL)), dimension=0, num_keys=NL)
+    s_desc = ~jnp.stack(s_ops, axis=0)
+    ones = jnp.where(live, jnp.uint32(1), jnp.uint32(0))
+    return s_desc, ones
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _c3_merge_bitonic(p_lanes, p_counts, s_desc, ones, interpret=False):
+    """Stage 2 (Pallas, bitonic): one half-merge pass prefix x descending
+    sorted-raw with the fused count fold — 16 compare-exchange stages on
+    w-element buffers instead of 17 on 2w (pallas_sort.
+    merge_sorted_runs_fold_bitonic), and the halved live footprint keeps
+    the full 64K tile for wide records (k=55/128)."""
+    from kmer_counter_tpu.ops import pallas_sort
+
+    NL = p_lanes.shape[0]
+    return pallas_sort.merge_sorted_runs_fold_bitonic(
+        [*(p_lanes[i] for i in range(NL)), p_counts],
+        [*(s_desc[i] for i in range(NL)), ones],
+        num_keys=NL,
+        tile=pallas_sort.TILE,
+        interpret=interpret,
+    )
 
 
 @partial(jax.jit, static_argnames=("interpret", "fold"))
@@ -342,23 +389,39 @@ def _c3_compact(m_ops, folded, cp: int, interpret: bool = False):
 
 
 def _consolidate3_split(
-    table: TwoLevelTable, interpret: bool = False, fold_fused: bool = False
+    table: TwoLevelTable,
+    interpret: bool = False,
+    fold_fused: bool = False,
+    bitonic: bool = False,
 ):
     """consolidate3 as separately jitted stages (see block comment)."""
     NL, CP = table.prefix_lanes.shape
-    if fold_fused:
-        s_lanes, r_counts = _c3_sort_raw_ones(table.raw_lanes, table.raw_off)
+    if bitonic:
+        s_desc, ones = _c3_sort_raw_desc(table.raw_lanes, table.raw_off)
+        merged = _c3_merge_bitonic(
+            table.prefix_lanes,
+            table.prefix_counts,
+            s_desc,
+            ones,
+            interpret=interpret,
+        )
+        folded = merged[NL]
     else:
-        s_lanes, r_counts = _c3_sort_raw(table.raw_lanes, table.raw_off)
-    merged = _c3_merge(
-        table.prefix_lanes,
-        table.prefix_counts,
-        s_lanes,
-        r_counts,
-        interpret=interpret,
-        fold=fold_fused,
-    )
-    folded = merged[NL] if fold_fused else _c3_fold(tuple(merged[:NL]), merged[NL])
+        if fold_fused:
+            s_lanes, r_counts = _c3_sort_raw_ones(table.raw_lanes, table.raw_off)
+        else:
+            s_lanes, r_counts = _c3_sort_raw(table.raw_lanes, table.raw_off)
+        merged = _c3_merge(
+            table.prefix_lanes,
+            table.prefix_counts,
+            s_lanes,
+            r_counts,
+            interpret=interpret,
+            fold=fold_fused,
+        )
+        folded = (
+            merged[NL] if fold_fused else _c3_fold(tuple(merged[:NL]), merged[NL])
+        )
     new_lanes, new_counts, live, lost = _c3_compact(
         tuple(merged[:NL]), folded, CP, interpret=interpret
     )
@@ -451,6 +514,7 @@ def consolidate3(
     table: TwoLevelTable,
     _interpret: bool = False,
     fold_fused: bool | None = None,
+    bitonic: bool | None = None,
 ):
     """Pallas-merge consolidation: raw keys-only lax sort + in-place
     multiplicities + ONE merge-path pass against the prefix
@@ -462,6 +526,11 @@ def consolidate3(
     ``fold_fused`` (default: on; set env KMER_TPU_FOLD_FUSED=0 to disable)
     selects the merge kernel with the in-kernel count fold
     (_consolidate3_fold_impl), which skips two whole-table XLA passes.
+    ``bitonic`` (default: on; set env KMER_TPU_BITONIC=0 to disable)
+    further replaces the odd-even merge with the bitonic half-merge over
+    a DESCENDING-stored raw sort (16 stages on w-element buffers instead
+    of 17 on 2w; full 64K tile at every record width) — it implies the
+    fused fold.
 
     Same contract as consolidate2: returns (table', live, lost); lost
     must be 0 (finalize_host raises otherwise).  Prefix invariant becomes
@@ -487,6 +556,11 @@ def consolidate3(
         # finished (>10 min standalone, measured round 3 — the root cause
         # of the monolithic consolidate3 compile hang).
         fold_fused = os.environ.get("KMER_TPU_FOLD_FUSED", "1") == "1"
+    if bitonic is None:
+        # Default off until the on-chip Mosaic validation lands (interpret
+        # mode passes; see docs/probe_bitonic_phase1.py) — flip to "1" once
+        # the real-tile probe is green.
+        bitonic = os.environ.get("KMER_TPU_BITONIC", "0") == "1"
     if os.environ.get("KMER_TPU_MONO_CONSOLIDATE", "0") == "1":
         # The single-program variants: never finished compiling through
         # this environment's remote tunnel (see _consolidate3_split's
@@ -495,7 +569,9 @@ def consolidate3(
         if fold_fused:
             return _consolidate3_fold_impl(table, interpret=_interpret)
         return _consolidate3_impl(table, interpret=_interpret)
-    return _consolidate3_split(table, interpret=_interpret, fold_fused=fold_fused)
+    return _consolidate3_split(
+        table, interpret=_interpret, fold_fused=fold_fused, bitonic=bitonic
+    )
 
 
 @partial(jax.jit, static_argnames=("prefix_slots", "raw_slots"))

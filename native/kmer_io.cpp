@@ -35,6 +35,9 @@ struct FastqReader {
   long line_length = 0;
   long phase = 0;                   // line index mod 4
   bool eof = false;
+  long long abs_base = 0;           // file offset of buf[0]
+  long long limit = -1;             // stop at first header at/past this
+  bool done = false;                // byte range exhausted
 };
 
 // Read more bytes into buf (compacting consumed prefix). Returns false at EOF
@@ -42,6 +45,7 @@ struct FastqReader {
 bool refill(FastqReader* r) {
   if (r->buf_pos > 0) {
     r->buf.erase(r->buf.begin(), r->buf.begin() + r->buf_pos);
+    r->abs_base += r->buf_pos;
     r->buf_pos = 0;
   }
   if (r->eof) return false;
@@ -69,6 +73,45 @@ bool next_line(FastqReader* r, size_t* start, size_t* end) {
   r->buf_pos = *end + 1;
   if (*end > *start && base[*end - 1] == '\r') --*end;  // strip CR
   return true;
+}
+
+// Absolute offset of the first record header at/after `start`, or -1 when
+// none exists.  A record header is a line starting with '@' whose line+2
+// starts with '+' (rejecting '@'-leading quality lines) — the same resync
+// rule as kmer_counter_tpu.io.fastq.FASTQReader._seek_to_record, so the
+// native and Python parsers shard a file identically.
+long long find_record_start(FILE* f, long long start) {
+  if (start <= 0) return 0;
+  // Read from start-1 so every line start is identified by the newline
+  // before it (a header exactly at `start` is then found).
+  long long base = start - 1;
+  if (fseek(f, static_cast<long>(base), SEEK_SET) != 0) return -1;
+  std::vector<unsigned char> window;
+  std::vector<size_t> nls;
+  size_t scanned = 0;
+  while (true) {
+    size_t old = window.size();
+    window.resize(old + kReadBlock);
+    size_t got = fread(window.data() + old, 1, kReadBlock, f);
+    window.resize(old + got);
+    for (size_t i = scanned; i < window.size(); ++i)
+      if (window[i] == '\n') nls.push_back(i);
+    scanned = window.size();
+    bool need_more = false;
+    for (size_t j = 0; j < nls.size(); ++j) {
+      size_t ls = nls[j] + 1;
+      if (ls >= window.size() || window[ls] != '@') continue;
+      if (j + 2 >= nls.size()) {
+        need_more = true;  // candidate pending the '+' line
+        break;
+      }
+      size_t plus = nls[j + 2] + 1;
+      if (plus < window.size() && window[plus] == '+')
+        return base + static_cast<long long>(ls);
+    }
+    if (got == 0) return -1;  // no record begins in the remainder
+    (void)need_more;
+  }
 }
 
 }  // namespace
@@ -117,6 +160,34 @@ void* kc_open(const char* path) {
   r->buf_pos = 0;
   r->phase = 0;
   r->eof = false;
+  r->abs_base = 0;
+  return r;
+}
+
+// kc_open restricted to records whose header line begins in [start, end):
+// adjacent ranges partition a file exactly (byte-range ingest sharding
+// across hosts; the native twin of io.fastq.FASTQReader(byte_range=...)).
+void* kc_open_range(const char* path, long long start, long long end) {
+  FastqReader* r = static_cast<FastqReader*>(kc_open(path));
+  if (r == nullptr) return nullptr;
+  r->limit = end;
+  if (start > 0) {
+    long long hs = find_record_start(r->f, start);
+    if (hs < 0 || hs >= end) {
+      r->done = true;  // no record in this range; line_length still valid
+      return r;
+    }
+    if (fseek(r->f, static_cast<long>(hs), SEEK_SET) != 0) {
+      fclose(r->f);
+      delete r;
+      return nullptr;
+    }
+    r->abs_base = hs;
+    r->buf.clear();
+    r->buf_pos = 0;
+    r->phase = 0;
+    r->eof = false;
+  }
   return r;
 }
 
@@ -132,11 +203,18 @@ long kc_read_chunk(void* h, unsigned char* out, long max_reads) {
   const long L = r->line_length;
   long delivered = 0;
   memset(out, 0, static_cast<size_t>(max_reads) * L);
-  while (delivered < max_reads) {
+  while (delivered < max_reads && !r->done) {
     size_t s, e;
     if (!next_line(r, &s, &e)) {
       if (!refill(r)) break;
       continue;
+    }
+    if ((r->phase & 3) == 0 && r->limit >= 0 &&
+        r->abs_base + static_cast<long long>(s) >= r->limit) {
+      // First record header at/past the byte limit: range exhausted
+      // (records belong to the shard whose range holds their header).
+      r->done = true;
+      break;
     }
     bool is_seq = (r->phase & 3) == 1;
     r->phase = (r->phase + 1) & 3;

@@ -23,6 +23,7 @@ def main():
         int(sys.argv[7]),
     )
     table_slots = int(sys.argv[8]) if len(sys.argv) > 8 else 0
+    temp_dir = sys.argv[9] if len(sys.argv) > 9 else None
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -53,11 +54,13 @@ def main():
         table_impl=impl,
         reads_per_chunk=32,
         table_slots=table_slots or None,
+        temp_dir=temp_dir,
         verbose=0,
     )
     stats = MeshCountEngine(opts).run()
     print(
-        f"proc {pid} ok reads={stats.reads} distinct={stats.distinct_kmers}",
+        f"proc {pid} ok reads={stats.reads} "
+        f"distinct={stats.distinct_kmers} spilled={stats.spilled_runs}",
         flush=True,
     )
 

@@ -179,3 +179,110 @@ def test_byte_range_handles_at_sign_quality(tmp_path):
         if chunk is not None:
             got += [bytes(x).decode() for x in chunk.reads[: chunk.n_reads]]
     assert got == seqs
+
+
+# ---- ParallelIngest: the multi-threaded order-preserving reader pool ----
+
+
+def _drain_chunks(src, max_reads):
+    out = []
+    while True:
+        c = src.read_chunk(max_reads)
+        if c is None:
+            break
+        out.append(c)
+    src.close()
+    return out
+
+
+def _rows(chunks):
+    return [
+        bytes(r).rstrip(b"\x00").decode()
+        for c in chunks
+        for r in c.reads[: c.n_reads]
+    ]
+
+
+@pytest.mark.parametrize("threads", [2, 5])
+def test_parallel_ingest_matches_sequential(tmp_path, rng, threads):
+    from kmer_counter_tpu.io.fastq import ParallelIngest
+
+    for i in range(5):
+        write_fastq(tmp_path / f"f{i}.fastq", random_seqs(rng, 37 + i, 50))
+    seq_chunks = _drain_chunks(DirectoryInput(str(tmp_path)), 16)
+    par_chunks = _drain_chunks(
+        ParallelIngest(str(tmp_path), threads=threads, unit_chunk_reads=8),
+        16,
+    )
+    # identical read sequence (checkpoint-resume determinism)...
+    assert _rows(par_chunks) == _rows(seq_chunks)
+    # ...and no chunk spans files
+    for c in par_chunks:
+        assert len({c.path}) == 1
+
+
+def test_parallel_ingest_segments_one_big_file(tmp_path, rng):
+    # segment_bytes smaller than the file: several units per file, whose
+    # re-assembled rows must equal the sequential parse exactly.
+    from kmer_counter_tpu.io.fastq import ParallelIngest
+
+    seqs = random_seqs(rng, 211, 44)
+    write_fastq(tmp_path / "big.fastq", seqs)
+    par = ParallelIngest(
+        str(tmp_path), threads=3, segment_bytes=1024, unit_chunk_reads=16
+    )
+    assert len(par._units) > 1, "expected multiple byte-range units"
+    got = _rows(_drain_chunks(par, 32))
+    assert got == seqs
+
+
+def test_parallel_ingest_mixed_line_lengths(tmp_path, rng):
+    from kmer_counter_tpu.io.fastq import ParallelIngest
+
+    write_fastq(tmp_path / "a.fastq", random_seqs(rng, 20, 30))
+    write_fastq(tmp_path / "b.fastq", random_seqs(rng, 20, 70))
+    par_chunks = _drain_chunks(
+        ParallelIngest(str(tmp_path), threads=2, unit_chunk_reads=8), 64
+    )
+    seq_chunks = _drain_chunks(DirectoryInput(str(tmp_path)), 64)
+    assert _rows(par_chunks) == _rows(seq_chunks)
+    assert [c.line_length for c in par_chunks] == [
+        c.line_length for c in seq_chunks
+    ]
+
+
+def test_parallel_ingest_skips_bad_file(tmp_path, rng, capsys):
+    from kmer_counter_tpu.io.fastq import ParallelIngest
+
+    write_fastq(tmp_path / "a.fastq", random_seqs(rng, 10, 40))
+    (tmp_path / "b.fastq").write_text("this is not fastq\n")
+    write_fastq(tmp_path / "c.fastq", random_seqs(rng, 10, 40))
+    par = ParallelIngest(str(tmp_path), threads=2)
+    got = _rows(_drain_chunks(par, 16))
+    want = _rows(_drain_chunks(DirectoryInput(str(tmp_path)), 16))
+    assert got == want
+    assert len(got) == 20
+
+
+def test_parallel_ingest_byte_shards_partition(tmp_path, rng):
+    # multi-host byte-range sharding composed with in-host parallelism
+    from kmer_counter_tpu.io.fastq import ParallelIngest
+
+    seqs = random_seqs(rng, 97, 40)
+    write_fastq(tmp_path / "one.fastq", seqs)
+    got = []
+    for idx in range(3):
+        got += _rows(
+            _drain_chunks(
+                ParallelIngest(
+                    str(tmp_path),
+                    threads=2,
+                    shard=(idx, 3),
+                    shard_mode="bytes",
+                    segment_bytes=2048,
+                    unit_chunk_reads=8,
+                ),
+                16,
+            )
+        )
+    assert got == seqs

@@ -29,27 +29,32 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(tmp_path, impl: str, k: int, table_slots: int = 0):
+def _run_workers(
+    tmp_path, impl: str, k: int, table_slots: int = 0, temp_dir: str = ""
+):
     out = str(tmp_path / f"out_{impl}.bin")
     port = _free_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # the worker forces cpu itself
     env.pop("XLA_FLAGS", None)  # conftest's 8-device flag; worker sets 4
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(_WORKER))
+    argv = [
+        sys.executable,
+        _WORKER,
+        "PID",
+        "2",
+        str(port),
+        str(tmp_path / "in"),
+        out,
+        impl,
+        str(k),
+        str(table_slots),
+    ]
+    if temp_dir:
+        argv.append(temp_dir)
     procs = [
         subprocess.Popen(
-            [
-                sys.executable,
-                _WORKER,
-                str(pid),
-                "2",
-                str(port),
-                str(tmp_path / "in"),
-                out,
-                impl,
-                str(k),
-                str(table_slots),
-            ],
+            [a if a != "PID" else str(pid) for a in argv],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
@@ -82,7 +87,7 @@ def _run_workers(tmp_path, impl: str, k: int, table_slots: int = 0):
         f for f in os.listdir(tmp_path) if ".manifest." in f
     ]
     assert len(manifests) == 2, manifests
-    return merged
+    return merged, logs
 
 
 @pytest.mark.parametrize("impl", ["one", "two"])
@@ -95,7 +100,7 @@ def test_two_process_mesh_matches_golden(tmp_path, impl):
             tmp_path / "in" / f"f{i}.fastq", random_seqs(rng, 40, 60)
         )
     k = 31
-    merged = _run_workers(tmp_path, impl, k)
+    merged, _logs = _run_workers(tmp_path, impl, k)
     from kmer_counter_tpu.io.dump import load_table
 
     words, counts = load_table(merged, k)
@@ -116,7 +121,35 @@ def test_two_process_mesh_grow_under_pressure(tmp_path):
             tmp_path / "in" / f"f{i}.fastq", random_seqs(rng, 48, 60)
         )
     k = 31
-    merged = _run_workers(tmp_path, "two", k, table_slots=4000)
+    merged, _logs = _run_workers(tmp_path, "two", k, table_slots=4000)
+    from kmer_counter_tpu.io.dump import load_table
+
+    words, counts = load_table(merged, k)
+    want_words, want_counts = golden_dir_table(tmp_path, k, canonical=True)
+    np.testing.assert_array_equal(words, want_words)
+    np.testing.assert_array_equal(counts, want_counts)
+
+
+def test_two_process_mesh_spill_matches_golden(tmp_path):
+    """Tiny per-device HBM budget + a temp dir: mid-run disk spill on a
+    multi-process mesh (the round-3 MemoryError corner).  Records are
+    routed to their range owners, each process spills per-position runs,
+    and the final parts are host-merged per range — the concatenated
+    output must still byte-match golden."""
+    rng = np.random.default_rng(11)
+    (tmp_path / "in").mkdir()
+    for i in range(4):
+        write_fastq(
+            tmp_path / "in" / f"f{i}.fastq", random_seqs(rng, 64, 60)
+        )
+    k = 31
+    merged, logs = _run_workers(
+        tmp_path, "two", k, table_slots=1200,
+        temp_dir=str(tmp_path / "tmp_spill"),
+    )
+    assert any("spilled=" in l and "spilled=0" not in l.split()[-1] for l in logs), (
+        f"no spill happened; workers: {logs}"
+    )
     from kmer_counter_tpu.io.dump import load_table
 
     words, counts = load_table(merged, k)

@@ -100,3 +100,55 @@ def test_native_merge_multiword_keys(tmp_path, rng):
     got = read_all(out, k)
     assert n == len(c1)
     assert got == {key: 2 * v for key, v in c1.items()}
+
+
+def test_native_byte_range_partitions_exactly(tmp_path, rng):
+    # kc_open_range: adjacent ranges partition a file with adversarial
+    # '@'/'+'-leading quality lines, byte-identically to the Python
+    # byte-range parser (io.fastq.FASTQReader._seek_to_record twin).
+    seqs = random_seqs(rng, 101, 48)
+    path = tmp_path / "a.fastq"
+    with open(path, "w") as fh:
+        for i, s in enumerate(seqs):
+            q = ("@" if i % 7 == 0 else "+" if i % 5 == 0 else "I") * 48
+            fh.write(f"@r{i}\n{s}\n+\n{q}\n")
+    import os
+
+    size = os.path.getsize(path)
+    for count in (2, 4):
+        got = []
+        for idx in range(count):
+            br = (size * idx // count, size * (idx + 1) // count)
+            r = native.NativeFASTQReader(str(path), byte_range=br)
+            while True:
+                c = r.read_chunk(16)
+                if c is None:
+                    break
+                got += [
+                    bytes(row).rstrip(b"\x00").decode()
+                    for row in c.reads[: c.n_reads]
+                ]
+            r.close()
+        assert got == seqs, f"shard count {count}"
+
+
+def test_directory_input_byte_shard_uses_native(tmp_path, rng):
+    # shard_mode="bytes" must keep the native fast path (round-3 VERDICT:
+    # it silently fell back to the Python parser).
+    seqs = random_seqs(rng, 50, 40)
+    write_fastq(tmp_path / "a.fastq", seqs)
+    got = []
+    for idx in range(2):
+        src = DirectoryInput(str(tmp_path), shard=(idx, 2), shard_mode="bytes")
+        assert isinstance(src._reader, native.NativeFASTQReader), (
+            "byte-range shard lost the native parser"
+        )
+        while True:
+            c = src.read_chunk(16)
+            if c is None:
+                break
+            got += [
+                bytes(r).rstrip(b"\x00").decode() for r in c.reads[: c.n_reads]
+            ]
+        src.close()
+    assert sorted(got) == sorted(seqs)

@@ -337,3 +337,142 @@ def test_merge_fold_count_wraparound(rng):
     ac = np.full(na, 0x80000000, np.uint32)  # 2*TILE halves wrap many times
     bc = np.full(nb, 0x80000001, np.uint32)
     _check_fold([a], ac, [b], bc, 1)
+
+
+# ---- bitonic half-merge (B stored descending) ------------------------------
+
+
+def _check_fold_bitonic(a_keys_cols, a_counts, b_keys_cols, b_counts, num_keys):
+    """b_* given in ASCENDING order here; the call flips them to the
+    kernel's descending storage and the expectation matches the ascending
+    fold reference."""
+    got = ps.merge_sorted_runs_fold_bitonic(
+        [*(jnp.asarray(c) for c in a_keys_cols), jnp.asarray(a_counts)],
+        [*(jnp.asarray(c[::-1].copy()) for c in b_keys_cols),
+         jnp.asarray(b_counts[::-1].copy())],
+        num_keys,
+        tile=TILE,
+        interpret=True,
+    )
+    merged_cols = [
+        np.concatenate([a, b]) for a, b in zip(a_keys_cols, b_keys_cols)
+    ]
+    order = np.lexsort(tuple(reversed(merged_cols)))
+    want_keys = [c[order] for c in merged_cols]
+    for i in range(num_keys):
+        assert np.array_equal(np.asarray(got[i]), want_keys[i]), f"lane {i}"
+    want_counts = _ref_fold_ends(
+        want_keys, np.concatenate([a_counts, b_counts])[order]
+    )
+    assert np.array_equal(np.asarray(got[num_keys]), want_counts)
+
+
+def test_bitonic_fold_heavy_dups(rng):
+    na, nb = TILE, 3 * TILE
+    a = np.sort(rng.integers(0, 48, na, np.uint64).astype(np.uint32))
+    b = np.sort(rng.integers(0, 48, nb, np.uint64).astype(np.uint32))
+    ac = rng.integers(1, 5, na).astype(np.uint32)
+    bc = np.ones(nb, np.uint32)
+    _check_fold_bitonic([a], ac, [b], bc, 1)
+
+
+def test_bitonic_fold_random_wide(rng):
+    na, nb = 3 * TILE, TILE
+    a = np.sort(rng.integers(0, 2**32, na, np.uint64).astype(np.uint32))
+    b = np.sort(rng.integers(0, 2**32, nb, np.uint64).astype(np.uint32))
+    ac = rng.integers(1, 9, na).astype(np.uint32)
+    bc = rng.integers(1, 9, nb).astype(np.uint32)
+    _check_fold_bitonic([a], ac, [b], bc, 1)
+
+
+def test_bitonic_fold_two_key_lanes_with_sentinels(rng):
+    # the consolidate3 shape: 2-lane keys, A carries a sentinel tail
+    # (count-0 prefix holes), B carries dead all-zero-key rows (count-0)
+    # that surface at the FRONT of the merged stream.
+    na, nb = 2 * TILE, 2 * TILE
+    a0 = np.sort(rng.integers(1, 16, na, np.uint64).astype(np.uint32))
+    a1 = rng.integers(0, 4, na, np.uint64).astype(np.uint32)
+    order = np.lexsort((a1, a0))
+    a0, a1 = a0[order], a1[order]
+    a0[-TILE // 2:] = 0xFFFFFFFF
+    a1[-TILE // 2:] = 0xFFFFFFFF
+    ac = np.where(a0 != 0xFFFFFFFF, 2, 0).astype(np.uint32)
+    b0 = np.sort(rng.integers(1, 16, nb, np.uint64).astype(np.uint32))
+    b1 = rng.integers(0, 4, nb, np.uint64).astype(np.uint32)
+    order = np.lexsort((b1, b0))
+    b0, b1 = b0[order], b1[order]
+    # dead raw rows: all-zero keys at the ascending FRONT, count 0
+    b0[: TILE // 3] = 0
+    b1[: TILE // 3] = 0
+    bc = np.ones(nb, np.uint32)
+    bc[: TILE // 3] = 0
+    _check_fold_bitonic([a0, a1], ac, [b0, b1], bc, 2)
+
+
+def test_bitonic_fold_dead_rows_collide_with_azero_key(rng):
+    # genuine A^k (all-zero key, count 1) records adjacent to dead
+    # all-zero-key count-0 rows: the run total must equal the genuine
+    # multiplicity only.
+    na = nb = TILE
+    a = np.sort(rng.integers(0, 8, na, np.uint64).astype(np.uint32))
+    ac = np.ones(na, np.uint32)
+    b = np.sort(rng.integers(0, 8, nb, np.uint64).astype(np.uint32))
+    b[: TILE // 4] = 0  # some genuine zeros may also exist
+    bc = np.ones(nb, np.uint32)
+    bc[: TILE // 8] = 0  # first half of the zero block is dead
+    _check_fold_bitonic([a], ac, [b], bc, 1)
+
+
+def test_bitonic_fold_single_run_spans_all_tiles(rng):
+    na = nb = 2 * TILE
+    a = np.full(na, 7, np.uint32)
+    b = np.full(nb, 7, np.uint32)
+    ac = np.ones(na, np.uint32)
+    bc = rng.integers(1, 3, nb).astype(np.uint32)
+    _check_fold_bitonic([a], ac, [b], bc, 1)
+
+
+def test_bitonic_fold_run_ends_exactly_at_tile_boundary(rng):
+    na = nb = TILE
+    a = np.concatenate(
+        [np.full(TILE // 2, 5, np.uint32), np.full(TILE // 2, 9, np.uint32)]
+    )
+    b = np.concatenate(
+        [np.full(TILE // 2, 5, np.uint32), np.full(TILE // 2, 9, np.uint32)]
+    )
+    ac = np.ones(na, np.uint32)
+    bc = np.ones(nb, np.uint32)
+    _check_fold_bitonic([a], ac, [b], bc, 1)
+
+
+def test_bitonic_fold_count_wraparound(rng):
+    na = nb = TILE
+    a = np.full(na, 3, np.uint32)
+    b = np.full(nb, 3, np.uint32)
+    ac = np.full(na, 0x80000000, np.uint32)
+    bc = np.full(nb, 0x80000001, np.uint32)
+    _check_fold_bitonic([a], ac, [b], bc, 1)
+
+
+def test_bitonic_fold_five_operands(rng):
+    # k=55..128 records: 4 key lanes + count — the width whose odd-even
+    # variant needed a halved tile; the bitonic kernel keeps full tiles.
+    na, nb = TILE, 3 * TILE
+    a_keys = np.sort(rng.integers(0, 2**12, na, np.uint64).astype(np.uint32))
+    b_keys = np.sort(rng.integers(0, 2**12, nb, np.uint64).astype(np.uint32))
+    ac = rng.integers(1, 4, na).astype(np.uint32)
+    bc = np.ones(nb, np.uint32)
+    _check_fold_bitonic([a_keys] * 4, ac, [b_keys] * 4, bc, 4)
+
+
+def test_bitonic_fold_extreme_splits(rng):
+    # windows that consume only-A or only-B for whole tiles (all of A
+    # strictly below all of B and vice versa).
+    na = nb = TILE
+    lo = np.sort(rng.integers(0, 2**16, na, np.uint64).astype(np.uint32))
+    hi = np.sort(
+        (rng.integers(2**30, 2**31, nb, np.uint64)).astype(np.uint32)
+    )
+    c = np.ones(na, np.uint32)
+    _check_fold_bitonic([lo], c, [hi], c.copy(), 1)
+    _check_fold_bitonic([hi], c, [lo], c.copy(), 1)

@@ -95,9 +95,18 @@ def test_two_level_grow(rng):
     assert table_counter(table, k) == want
 
 
-def test_consolidate3_matches_golden(rng):
+VARIANTS = {
+    "plain": dict(fold_fused=False, bitonic=False),
+    "fused": dict(fold_fused=True, bitonic=False),
+    "bitonic": dict(bitonic=True),
+}
+
+
+@pytest.mark.parametrize("variant", sorted(VARIANTS))
+def test_consolidate3_matches_golden(rng, variant):
     # The Pallas-merge consolidation path (interpret mode: one 64K tile).
     # Several rounds so the prefix re-merges with later raw regions.
+    kw = VARIANTS[variant]
     k = 15
     canonical = True
     NL = records.active_lanes(k)
@@ -107,10 +116,10 @@ def test_consolidate3_matches_golden(rng):
     for i, reads in enumerate(chunks):
         lanes, allt = extract_chunk_keys(jnp.asarray(reads), k, canonical)
         if not t2.raw_append_fits(table, lanes.shape[1]) or i == 2:
-            table, live, lost = t2.consolidate3(table, _interpret=True)
+            table, live, lost = t2.consolidate3(table, _interpret=True, **kw)
             assert int(lost) == 0
         table = t2.append_raw(table, lanes, allt)
-    table, live, lost = t2.consolidate3(table, _interpret=True)
+    table, live, lost = t2.consolidate3(table, _interpret=True, **kw)
     assert int(lost) == 0
     # prefix is unique + compact: live rows all count>0, sorted strictly
     counts = np.asarray(table.prefix_counts)
@@ -124,7 +133,8 @@ def test_consolidate3_matches_golden(rng):
     assert got == want
 
 
-def test_consolidate3_lost_detection(rng):
+@pytest.mark.parametrize("variant", sorted(VARIANTS))
+def test_consolidate3_lost_detection(rng, variant):
     k = 15
     NL = records.active_lanes(k)
     CP, CR = 128, 65536 - 128
@@ -132,7 +142,7 @@ def test_consolidate3_lost_detection(rng):
     reads = random_reads(rng, 16, 40)
     lanes, allt = extract_chunk_keys(jnp.asarray(reads), k, False)
     table = t2.append_raw(table, lanes, allt)
-    _, live, lost = t2.consolidate3(table, _interpret=True)
+    _, live, lost = t2.consolidate3(table, _interpret=True, **VARIANTS[variant])
     assert int(lost) > 0  # far more distinct keys than the 128-slot prefix
 
 
@@ -196,11 +206,13 @@ def test_consolidate3_fold_fused_matches_golden(rng):
         lanes, allt = extract_chunk_keys(jnp.asarray(reads), k, canonical)
         if not t2.raw_append_fits(table, lanes.shape[1]) or i == 2:
             table, live, lost = t2.consolidate3(
-                table, _interpret=True, fold_fused=True
+                table, _interpret=True, fold_fused=True, bitonic=False
             )
             assert int(lost) == 0
         table = t2.append_raw(table, lanes, allt)
-    table, live, lost = t2.consolidate3(table, _interpret=True, fold_fused=True)
+    table, live, lost = t2.consolidate3(
+        table, _interpret=True, fold_fused=True, bitonic=False
+    )
     assert int(lost) == 0
     counts = np.asarray(table.prefix_counts)
     nl = int(live)
@@ -221,14 +233,19 @@ def test_consolidate3_fold_fused_lost_detection(rng):
     reads = random_reads(rng, 16, 40)
     lanes, allt = extract_chunk_keys(jnp.asarray(reads), k, False)
     table = t2.append_raw(table, lanes, allt)
-    _, live, lost = t2.consolidate3(table, _interpret=True, fold_fused=True)
+    _, live, lost = t2.consolidate3(
+        table, _interpret=True, fold_fused=True, bitonic=False
+    )
     assert int(lost) > 0
 
 
-def test_consolidate3_fold_fused_wide_records(rng):
-    # k=55: 4 key lanes + counts = 5 operands -> the kernels run at the
-    # halved tile (_kernel_tile; full-tile 5-op merge OOMs scoped VMEM on
-    # the chip).  CP+CR stays a multiple of both tiles.
+@pytest.mark.parametrize("variant", ["fused", "bitonic"])
+def test_consolidate3_fold_fused_wide_records(rng, variant):
+    # k=55: 4 key lanes + counts = 5 operands.  The odd-even variant runs
+    # at the halved tile (_kernel_tile; full-tile 5-op odd-even merge
+    # OOMs scoped VMEM on the chip); the bitonic variant keeps the full
+    # 64K tile.  CP+CR stays a multiple of both tiles.
+    kw = VARIANTS[variant]
     k = 55
     NL = records.active_lanes(k)
     assert NL == 4
@@ -238,9 +255,7 @@ def test_consolidate3_fold_fused_wide_records(rng):
     for i, reads in enumerate(chunks):
         lanes, allt = extract_chunk_keys(jnp.asarray(reads), k, True)
         if not t2.raw_append_fits(table, lanes.shape[1]) or i == 1:
-            table, live, lost = t2.consolidate3(
-                table, _interpret=True, fold_fused=True
-            )
+            table, live, lost = t2.consolidate3(table, _interpret=True, **kw)
             assert int(lost) == 0
         table = t2.append_raw(table, lanes, allt)
     got = table_counter(table, k)
@@ -248,10 +263,12 @@ def test_consolidate3_fold_fused_wide_records(rng):
     assert got == want
 
 
-def test_consolidate3_fold_fused_accepts_pair_row_prefix(rng):
+@pytest.mark.parametrize("variant", ["fused", "bitonic"])
+def test_consolidate3_fold_fused_accepts_pair_row_prefix(rng, variant):
     # consolidate2 leaves <=2 live rows per key in the prefix; a later
     # fused consolidation must fold those pairs together with the fresh
     # raw region (the "fold handles any run length" contract).
+    kw = VARIANTS[variant]
     k = 15
     NL = records.active_lanes(k)
     CP, CR = 16384, 49152
@@ -270,7 +287,7 @@ def test_consolidate3_fold_fused_accepts_pair_row_prefix(rng):
     # third round through the FUSED path
     lanes, allt = extract_chunk_keys(jnp.asarray(reads), k, False)
     table = t2.append_raw(table, lanes, allt)
-    table, live, lost = t2.consolidate3(table, _interpret=True, fold_fused=True)
+    table, live, lost = t2.consolidate3(table, _interpret=True, **kw)
     assert int(lost) == 0
     got = table_counter(table, k)
     want = {key: 3 * c for key, c in golden.count_reads(reads, k, False).items()}
