@@ -24,6 +24,7 @@ def test_bench_script_emits_valid_json(tmp_path):
     env.update(
         BENCH_READS="256",
         BENCH_GENOME="20000",
+        BENCH_GENOME_HC="40000",
         BENCH_ITERS="2",
         BENCH_DEADLINE_S="240",
     )
@@ -42,7 +43,11 @@ def test_bench_script_emits_valid_json(tmp_path):
     assert out["unit"] == "kmers/s"
     assert out["value"] > 0
     assert out["vs_baseline"] > 0
-    # both phases must have produced a measurement (the two-level phase
-    # falls back to consolidate2 on CPU but still runs end-to-end)
+    # every phase must have produced a measurement (the two-level phases
+    # fall back to consolidate2 on CPU but still run end-to-end)
     assert "one-level:" in proc.stderr
     assert "two-level-fused:" in proc.stderr
+    assert "two-level-bitonic:" in proc.stderr
+    assert "two-level-hc:" in proc.stderr
+    # the high-cardinality side metric is recorded on stderr only
+    assert "kmers_per_sec_per_chip_k31_highcard" in proc.stderr
