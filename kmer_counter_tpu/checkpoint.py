@@ -43,6 +43,11 @@ class Snapshot(NamedTuple):
     reads_absorbed: int
     files: dict[str, int] | None  # per-file absorbed reads (None: old ckpt)
     allt: int  # out-of-band all-T count (two-level table)
+    # Outstanding disk-spill run files at snapshot time (path -> size in
+    # bytes).  The snapshot table holds only the post-spill partial table;
+    # the rest of the counts live in these runs, which resume re-registers
+    # with the merge scheduler.  Empty dict when no spill was active.
+    spill_runs: dict[str, int]
 
 
 def config_fingerprint(opts) -> dict:
@@ -61,8 +66,13 @@ def save(
     reads_absorbed: int,
     files: dict[str, int] | None = None,
     allt: int = 0,
+    spill_runs: list[str] | None = None,
 ) -> None:
-    """Atomically write table + manifest (write tmp, then rename)."""
+    """Atomically write table + manifest (write tmp, then rename).
+
+    ``spill_runs``: outstanding disk-spill run files (a quiescent
+    MergeScheduler.snapshot_runs() view) — recorded with sizes so resume
+    can verify them before re-registering."""
     os.makedirs(ckpt_dir, exist_ok=True)
     words = records.lanes_to_words(np.asarray(lanes))
     keep = np.asarray(counts) > 0
@@ -77,6 +87,10 @@ def save(
         "records": int(keep.sum()),
         "allt": int(allt),
     }
+    if spill_runs:
+        manifest["spill_runs"] = {
+            os.path.abspath(p): os.path.getsize(p) for p in spill_runs
+        }
     if files is not None:
         manifest["files"] = {k: int(v) for k, v in files.items()}
     tmp_manifest = os.path.join(ckpt_dir, MANIFEST + ".tmp")
@@ -99,6 +113,21 @@ def load(ckpt_dir: str, opts) -> Snapshot | None:
         manifest = json.load(fh)
     if manifest.get("config") != config_fingerprint(opts):
         return None
+    spill_runs = {
+        str(p): int(sz) for p, sz in manifest.get("spill_runs", {}).items()
+    }
+    for p, sz in spill_runs.items():
+        if not os.path.exists(p) or os.path.getsize(p) != sz:
+            # A listed run vanished or changed: resuming would silently
+            # lose its counts — recount from scratch instead.
+            import sys
+
+            print(
+                f"[checkpoint] ignoring snapshot: spill run {p} missing or "
+                "resized since the snapshot was taken",
+                file=sys.stderr,
+            )
+            return None
     with open(table_path, "rb") as fh:
         words, counts = records.parse_records(fh.read(), opts.kmer_length)
     lanes = records.words_to_lanes(words)
@@ -108,4 +137,5 @@ def load(ckpt_dir: str, opts) -> Snapshot | None:
         int(manifest["reads_absorbed"]),
         manifest.get("files"),
         int(manifest.get("allt", 0)),
+        spill_runs,
     )

@@ -79,9 +79,11 @@ def _make_source(opts: Options, shard=None):
 
 
 def _warn_checkpoint_spill(opts: Options) -> None:
-    """One warning per run when disk spill engages while checkpointing is
-    configured: spilled runs are not snapshotted, so resume covers only the
-    chunks absorbed before the first spill (ADVICE r3 — previously silent)."""
+    """One warning per run when disk spill engages on the MESH engine while
+    checkpointing is configured: the mesh engine does not checkpoint, so a
+    user who asked for snapshots should hear that spilled multi-device
+    state will not be resumable.  (The single-process CountEngine snapshots
+    THROUGH spill via checkpoint.spill_runs — no warning needed there.)"""
     import sys
 
     if opts.checkpoint_every and opts.checkpoint_dir and not getattr(
@@ -333,10 +335,13 @@ class CountEngine:
             expected_files = resumed.files
             stats.reads = skip_reads
             stats.per_file = dict(resumed.files or {})
+            if resumed.spill_runs:
+                self._resume_spill(resumed.spill_runs, stats)
             if opts.verbose:
                 print(
                     f"[engine] resumed checkpoint: {U} records, "
-                    f"{skip_reads} reads absorbed"
+                    f"{skip_reads} reads absorbed, "
+                    f"{len(resumed.spill_runs)} spill runs"
                 )
         else:
             table = jax.device_put(t2.make_table2(cp, cr, NL), self.device)
@@ -375,13 +380,15 @@ class CountEngine:
             if (
                 opts.checkpoint_every
                 and opts.checkpoint_dir
-                and self._scheduler is None  # spilled state isn't snapshotted
                 and stats.consolidations % opts.checkpoint_every == 0
             ):
                 # The consolidated prefix contains every chunk enqueued so
                 # far (stats.reads), making the snapshot exact.  The CPU
                 # fallback (consolidate2) can leave ≤2 live rows per key;
                 # fold them on host so the snapshot is a plain sorted table.
+                # With disk spill active, the snapshot additionally records
+                # the quiescent spill-run manifest so resume re-registers
+                # the runs (the post-spill table alone is partial).
                 from kmer_counter_tpu import checkpoint as ckpt
 
                 s_lanes = np.asarray(
@@ -406,6 +413,11 @@ class CountEngine:
                     stats.reads,
                     files=dict(stats.per_file),
                     allt=int(jax.device_get(table.allt)),
+                    spill_runs=(
+                        self._scheduler.snapshot_runs()
+                        if self._scheduler is not None
+                        else None
+                    ),
                 )
             if opts.temp_dir and (cp + cr) > self._max_table_slots_two(NL):
                 # Cardinality outgrew the HBM budget: the table is fully
@@ -521,7 +533,6 @@ class CountEngine:
         from kmer_counter_tpu.ops import table2 as t2
 
         opts = self.opts
-        _warn_checkpoint_spill(opts)
         if self._scheduler is None:
             self._scheduler = spill_io.MergeScheduler(
                 opts.temp_dir,
@@ -592,10 +603,13 @@ class CountEngine:
             )
             host_bound = U
             stats.reads = skip_reads
+            if resumed.spill_runs:
+                self._resume_spill(resumed.spill_runs, stats)
             if opts.verbose:
                 print(
                     f"[engine] resumed checkpoint: {U} records, "
-                    f"{skip_reads} reads absorbed"
+                    f"{skip_reads} reads absorbed, "
+                    f"{len(resumed.spill_runs)} spill runs"
                 )
         else:
             table = jax.device_put(
@@ -649,11 +663,11 @@ class CountEngine:
                     if (
                         opts.checkpoint_every
                         and opts.checkpoint_dir
-                        and self._scheduler is None  # spilled state isn't snapshotted
                         and stats.consolidations % opts.checkpoint_every == 0
                     ):
                         # The consolidated table contains every chunk enqueued
-                        # so far (stats.reads), making the snapshot exact.
+                        # so far (stats.reads), making the snapshot exact; any
+                        # outstanding spill runs are recorded for resume.
                         from kmer_counter_tpu import checkpoint as ckpt
 
                         ckpt.save(
@@ -663,6 +677,11 @@ class CountEngine:
                             np.asarray(jax.device_get(table.counts[:host_bound])),
                             stats.reads,
                             files=dict(stats.per_file),
+                            spill_runs=(
+                                self._scheduler.snapshot_runs()
+                                if self._scheduler is not None
+                                else None
+                            ),
                         )
                     if host_bound + cur_slots > table_slots:
                         if (
@@ -743,6 +762,39 @@ class CountEngine:
             self.opts.memory_limit_bytes // 2 // ((NL + 1) * 4 * 3), 1 << 14
         )
 
+    def _resume_spill(self, spill_runs: dict, stats):
+        """Rebuild the merge scheduler from a checkpoint's spill-run
+        manifest (resume ACROSS disk spill).  Filename sequences restart
+        past every existing file in the temp dir, so re-registered runs
+        (and orphans of the crashed run) are never overwritten."""
+        import os
+        import re
+
+        from kmer_counter_tpu.io import spill as spill_io
+
+        opts = self.opts
+        if not opts.temp_dir:
+            raise RuntimeError(
+                "checkpoint lists spill runs but no tempFileLocation is set"
+            )
+        seqs = [0]
+        if os.path.isdir(opts.temp_dir):
+            for name in os.listdir(opts.temp_dir):
+                m = re.match(r"(?:spill|merge)_(\d+)\.run$", name)
+                if m:
+                    seqs.append(int(m.group(1)))
+        top = max(seqs)
+        self._scheduler = spill_io.MergeScheduler(
+            opts.temp_dir,
+            opts.kmer_length,
+            fan_in=opts.no_of_mergers_at_once,
+            threads=opts.no_of_merge_threads,
+            seq_start=top,
+        )
+        stats.spilled_runs = max(stats.spilled_runs, top)
+        for path in spill_runs:
+            self._scheduler.add_run(path)
+
     def _spill(self, table, num_unique: int, stats):
         """Dump the consolidated table as a sorted run; reset to empty."""
         import os
@@ -750,7 +802,6 @@ class CountEngine:
         from kmer_counter_tpu.io import spill as spill_io
 
         opts = self.opts
-        _warn_checkpoint_spill(opts)
         if self._scheduler is None:
             self._scheduler = spill_io.MergeScheduler(
                 opts.temp_dir,

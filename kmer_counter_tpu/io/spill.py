@@ -190,7 +190,17 @@ class MergeScheduler:
     """Background hierarchical merge over spill runs
     (KMerFileMergeHandler analog, same knobs)."""
 
-    def __init__(self, temp_dir: str, k: int, fan_in: int = 2, threads: int = 2):
+    def __init__(
+        self,
+        temp_dir: str,
+        k: int,
+        fan_in: int = 2,
+        threads: int = 2,
+        seq_start: int = 0,
+    ):
+        """``seq_start`` offsets intermediate-merge filenames — a resumed
+        run (checkpoint.spill_runs) must never overwrite run files it is
+        about to re-register."""
         self.temp_dir = temp_dir
         self.k = k
         self.fan_in = max(fan_in, 2)
@@ -200,7 +210,7 @@ class MergeScheduler:
         self._errors: list[BaseException] = []
         self._pending = 0
         self._done = threading.Condition(self._lock)
-        self._seq = 0
+        self._seq = seq_start
         os.makedirs(temp_dir, exist_ok=True)
 
     def add_run(self, path: str):
@@ -242,6 +252,21 @@ class MergeScheduler:
                 self._errors.append(e)
                 self._pending -= 1
                 self._done.notify_all()
+
+    def snapshot_runs(self) -> list[str]:
+        """Quiescent view of the outstanding run files for checkpointing:
+        waits for in-flight merges (they delete their inputs), then
+        returns the registered run paths — stable until the next
+        add_run(), since merges are only triggered from there."""
+        with self._lock:
+            while self._pending:
+                self._done.wait()
+            if self._errors:
+                raise RuntimeError(
+                    f"{len(self._errors)} background merge(s) failed; first: "
+                    f"{self._errors[0]!r}"
+                ) from self._errors[0]
+            return list(self._runs)
 
     def finish(self, out_path: str) -> int:
         """Wait for background merges, then merge all remaining runs into
