@@ -58,3 +58,52 @@ def test_sharded_matches_golden_fuzzed(seed):
         counter.step(reads)
     lanes, counts = counter.finalize()
     assert table_as_counter(lanes, counts, k) == want, f"seed={seed} k={k}"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_parallel_ingest_matches_sequential_fuzzed(tmp_path, seed):
+    """ParallelIngest must reproduce DirectoryInput's exact read sequence
+    for random file layouts: varying file counts/sizes, thread counts,
+    byte-segment sizes, chunk sizes, missing trailing newlines."""
+    from kmer_counter_tpu.io.fastq import DirectoryInput, ParallelIngest
+
+    rng = np.random.default_rng(3000 + seed)
+    n_files = int(rng.integers(1, 6))
+    L = int(rng.integers(10, 80))
+    for f in range(n_files):
+        n = int(rng.integers(1, 120))
+        lines = []
+        for i in range(n):
+            seq = "".join(rng.choice(list("ACGTN"), size=L))
+            q = rng.choice(["I" * L, "@" + "I" * (L - 1), "+" + "I" * (L - 1)])
+            lines.append(f"@r{i} x\n{seq}\n+\n{q}")
+        data = "\n".join(lines)
+        if rng.integers(0, 2):
+            data += "\n"
+        (tmp_path / f"f{f}.fastq").write_text(data)
+
+    def rows(src, max_reads):
+        out = []
+        while True:
+            c = src.read_chunk(max_reads)
+            if c is None:
+                break
+            out += [
+                bytes(r).rstrip(b"\x00").decode()
+                for r in c.reads[: c.n_reads]
+            ]
+        src.close()
+        return out
+
+    max_reads = int(rng.integers(1, 40))
+    want = rows(DirectoryInput(str(tmp_path)), max_reads)
+    got = rows(
+        ParallelIngest(
+            str(tmp_path),
+            threads=int(rng.integers(1, 5)),
+            segment_bytes=int(rng.integers(256, 4096)),
+            unit_chunk_reads=int(rng.integers(1, 32)),
+        ),
+        max_reads,
+    )
+    assert got == want, f"seed={seed} files={n_files} L={L}"
