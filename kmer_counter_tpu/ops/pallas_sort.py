@@ -1091,6 +1091,31 @@ def _dyn_shift_up(v, shift):
     return jnp.where(lane >= shift, u, u_prev)
 
 
+import os as _os
+
+# Traced ROW rolls (tpu.DynamicRotate on the sublane axis) are new Mosaic
+# territory on this backend — every round-3 kernel only ever traced LANE
+# rolls.  KMER_TPU_STATIC_ROW_ROLL=1 swaps in a bit-decomposed fallback
+# (log2(rows) static rolls + scalar-masked selects) should the dynamic
+# form miscompile on some toolchain.
+_STATIC_ROW_ROLL = _os.environ.get("KMER_TPU_STATIC_ROW_ROLL", "0") == "1"
+
+
+def _row_roll(v, r):
+    """out[i_row] = v[i_row - r] for a traced r in [0, rows) (circular)."""
+    rows = v.shape[0]
+    if not _STATIC_ROW_ROLL:
+        return pltpu.roll(v, r, 0)
+    out = v
+    b = 1
+    while b < rows:
+        rolled = pltpu.roll(out, b, 0)
+        take = ((r // b) % 2) == 1
+        out = jnp.where(take, rolled, out)
+        b *= 2
+    return out
+
+
 def _dyn_shift_up_big(v, shift):
     """v shifted up by a traced 0..rows*128 element offset on the
     flattened index: out[i] = v[i - shift] — a traced ROW roll composed
@@ -1102,8 +1127,8 @@ def _dyn_shift_up_big(v, shift):
     lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
     u = pltpu.roll(v, dl, 1)
     # roll amounts kept in [0, rows) explicitly (shift may equal rows*128)
-    u_here = pltpu.roll(u, jax.lax.rem(r, rows), 0)
-    u_prev = pltpu.roll(u, jax.lax.rem(r + 1, rows), 0)
+    u_here = _row_roll(u, jax.lax.rem(r, rows))
+    u_prev = _row_roll(u, jax.lax.rem(r + 1, rows))
     return jnp.where(lane >= dl, u_here, u_prev)
 
 
