@@ -557,10 +557,11 @@ def consolidate3(
         # of the monolithic consolidate3 compile hang).
         fold_fused = os.environ.get("KMER_TPU_FOLD_FUSED", "1") == "1"
     if bitonic is None:
-        # Default off until the on-chip Mosaic validation lands (interpret
-        # mode passes; see docs/probe_bitonic_phase1.py) — flip to "1" once
-        # the real-tile probe is green.
-        bitonic = os.environ.get("KMER_TPU_BITONIC", "0") == "1"
+        # Default ON: validated on real Mosaic at the full 64K tile by the
+        # on-chip selftest (bench.py --selftest, round 4 — merge_fold
+        # PASS including the traced sublane rotate and the dead-row
+        # positional-liveness protocol).
+        bitonic = os.environ.get("KMER_TPU_BITONIC", "1") == "1"
     if os.environ.get("KMER_TPU_MONO_CONSOLIDATE", "0") == "1":
         # The single-program variants: never finished compiling through
         # this environment's remote tunnel (see _consolidate3_split's
