@@ -283,7 +283,7 @@ def main():
     k = int(os.environ.get("BENCH_K", 31))
     canonical = os.environ.get("BENCH_CANONICAL", "1") == "1"
     L = int(os.environ.get("BENCH_LINE_LEN", 100))
-    phases = os.environ.get("BENCH_PHASES", "one,three,bit,hc").split(",")
+    phases = os.environ.get("BENCH_PHASES", "one,bit,three,hc").split(",")
     deadline_s = float(os.environ.get("BENCH_DEADLINE_S", 560))
     metric = f"kmers_per_sec_per_chip_k{k}"
 
@@ -494,13 +494,15 @@ def main():
 
     # Phase 2 — split-stage Pallas-merge consolidation; phase 3 upgrades
     # to the in-kernel count fold; phase "bit" to the bitonic half-merge
-    # over the descending raw sort.  Each banks incrementally.
+    # over the descending raw sort.  Each banks incrementally.  "bit"
+    # (the production default and best number) runs FIRST so a cold-cache
+    # watchdog firing mid-comparison-phase still reports the headline.
+    if "bit" in phases:
+        run_two_level_phase("two-level-bitonic", bitonic=True)
     if "two" in phases:
         run_two_level_phase("two-level", fold_fused=False, bitonic=False)
     if "three" in phases:
         run_two_level_phase("two-level-fused", fold_fused=True, bitonic=False)
-    if "bit" in phases:
-        run_two_level_phase("two-level-bitonic", bitonic=True)
 
     if "hc" in phases:
         # High-cardinality regime (BASELINE.json config 4's shape): chunks

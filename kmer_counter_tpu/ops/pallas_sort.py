@@ -935,12 +935,22 @@ def _merge_pair_fold_bitonic_call(
     a_start, a_end, b_start, b_end, next_keys, w, interpret,
 ):
     """One bitonic half-merge pass over (A ascending, B descending) with
-    the in-kernel run-total fold (see merge_sorted_runs_fold_bitonic)."""
+    the in-kernel run-total fold (see merge_sorted_runs_fold_bitonic).
+
+    Input windows are double-buffered: tile t's compute overlaps the DMA
+    of tile t+1's windows (the merge-path split indices live in scalar-
+    prefetch refs, so t+1's window addresses are known at tile t) — the
+    kernel is per-tile-latency-bound, so hiding the 2*n_ops window copies
+    behind the bitonic stages is the dominant win.
+    KMER_TPU_MERGE_PREFETCH=0 restores the serialized single-buffer form.
+    """
     n_ops = len(a_pad)
     wr = _rows(w)
     buf_rows = wr + _WIN_EXTRA_ROWS
     n_tiles = n // w
     n_pref = 4 + num_keys
+    prefetch = _os.environ.get("KMER_TPU_MERGE_PREFETCH", "1") == "1"
+    n_bufs = 4 * n_ops if prefetch else 2 * n_ops
 
     def kernel(*refs):
         astart_r, aend_r, bstart_r, bend_r = refs[:4]
@@ -948,14 +958,40 @@ def _merge_pair_fold_bitonic_call(
         a_ins = refs[n_pref : n_pref + n_ops]
         b_ins = refs[n_pref + n_ops : n_pref + 2 * n_ops]
         outs = refs[n_pref + 2 * n_ops : n_pref + 3 * n_ops]
-        bufs = refs[n_pref + 3 * n_ops : n_pref + 5 * n_ops]
-        carry_ref = refs[n_pref + 5 * n_ops]
-        sems = refs[n_pref + 5 * n_ops + 1]
+        bufs = refs[n_pref + 3 * n_ops : n_pref + 3 * n_ops + n_bufs]
+        carry_ref = refs[n_pref + 3 * n_ops + n_bufs]
+        sems = refs[n_pref + 3 * n_ops + n_bufs + 1]
         t = pl.program_id(0)
 
         @pl.when(t == 0)
         def _():
             carry_ref[0] = 0
+
+        def window_rows(tt):
+            """(a_row, b_row) source rows of tile tt's two windows."""
+            a_row = astart_r[tt] // _LANES
+            q = jnp.int32(nb) - bend_r[tt]
+            return a_row, q // _LANES
+
+        def make_copies(tt, base: int, sem_row: int):
+            a_row, b_row = window_rows(tt)
+            copies = []
+            for i in range(n_ops):
+                copies.append(
+                    pltpu.make_async_copy(
+                        a_ins[i].at[pl.ds(a_row, wr + 1), :],
+                        bufs[base + 2 * i].at[pl.ds(0, wr + 1), :],
+                        sems.at[sem_row, 2 * i],
+                    )
+                )
+                copies.append(
+                    pltpu.make_async_copy(
+                        b_ins[i].at[pl.ds(b_row, wr + 1), :],
+                        bufs[base + 2 * i + 1].at[pl.ds(0, wr + 1), :],
+                        sems.at[sem_row, 2 * i + 1],
+                    )
+                )
+            return copies
 
         a_s, a_e = astart_r[t], aend_r[t]
         b_s, b_e = bstart_r[t], bend_r[t]
@@ -967,26 +1003,58 @@ def _merge_pair_fold_bitonic_call(
         a_row = a_s // _LANES
         b_row = q // _LANES
 
-        copies = []
-        for i in range(n_ops):
-            copies.append(
-                pltpu.make_async_copy(
-                    a_ins[i].at[pl.ds(a_row, wr + 1), :],
-                    bufs[2 * i].at[pl.ds(0, wr + 1), :],
-                    sems.at[2 * i],
-                )
-            )
-            copies.append(
-                pltpu.make_async_copy(
-                    b_ins[i].at[pl.ds(b_row, wr + 1), :],
-                    bufs[2 * i + 1].at[pl.ds(0, wr + 1), :],
-                    sems.at[2 * i + 1],
-                )
-            )
-        for c in copies:
-            c.start()
-        for c in copies:
-            c.wait()
+        if not prefetch:
+            copies = make_copies(t, 0, 0)
+            for c in copies:
+                c.start()
+            for c in copies:
+                c.wait()
+
+            def load(i):
+                return bufs[i][:]
+
+        else:
+            par = jax.lax.rem(t, 2)
+
+            # tile 0 primes its own window copies (the one unavoidable
+            # stall); every other tile's copies were started one tile ago.
+            @pl.when(t == 0)
+            def _():
+                for c in make_copies(t, 0, 0):
+                    c.start()
+
+            # wait tile t's copies (parity-selected set)
+            @pl.when(par == 0)
+            def _():
+                for c in make_copies(t, 0, 0):
+                    c.wait()
+
+            @pl.when(par == 1)
+            def _():
+                for c in make_copies(t, 2 * n_ops, 1):
+                    c.wait()
+
+            # start tile t+1's copies into the other set.  Safe to refill:
+            # that set was last consumed at tile t-1, and the grid is
+            # sequential.
+            @pl.when(t + 1 < n_tiles)
+            def _():
+                tn = jnp.minimum(t + 1, n_tiles - 1)
+
+                @pl.when(par == 0)
+                def _():
+                    for c in make_copies(tn, 2 * n_ops, 1):
+                        c.start()
+
+                @pl.when(par == 1)
+                def _():
+                    for c in make_copies(tn, 0, 0):
+                        c.start()
+
+            is0 = par == 0
+
+            def load(i):
+                return jnp.where(is0, bufs[i][:], bufs[2 * n_ops + i][:])
 
         ea = a_s - a_row * _LANES
         eq = q - b_row * _LANES
@@ -998,8 +1066,8 @@ def _merge_pair_fold_bitonic_call(
         # sentinel masking at all.
         z_ops = []
         for i in range(n_ops):
-            av = _dyn_shift_down(bufs[2 * i][:], ea)[:wr]
-            bw = _dyn_shift_down(bufs[2 * i + 1][:], eq)[:wr]
+            av = _dyn_shift_down(load(2 * i), ea)[:wr]
+            bw = _dyn_shift_down(load(2 * i + 1), eq)[:wr]
             zb = _dyn_shift_up_big(bw, la)
             z_ops.append(jnp.where(i2 < la, av, zb))
 
@@ -1037,9 +1105,9 @@ def _merge_pair_fold_bitonic_call(
             )
         ]
         * n_ops,
-        scratch_shapes=[pltpu.VMEM((buf_rows, _LANES), jnp.uint32)] * (2 * n_ops)
+        scratch_shapes=[pltpu.VMEM((buf_rows, _LANES), jnp.uint32)] * n_bufs
         + [pltpu.SMEM((1,), jnp.int32)]
-        + [pltpu.SemaphoreType.DMA((2 * n_ops,))],
+        + [pltpu.SemaphoreType.DMA((2, 2 * n_ops))],
     )
     na_rows = a_pad[0].shape[0] // _LANES
     nb_rows = b_pad[0].shape[0] // _LANES
@@ -1157,6 +1225,17 @@ def compact_live(
     Returns compacted operands (same widths).  The caller computes
     ``live_count = sum(live != 0)`` in XLA (one cheap reduction) and must
     treat rows at/past it as dead.
+
+    The output DMA is double-buffered (two staging-buffer/semaphore sets
+    alternating by tile parity): tile t's shift-network compute overlaps
+    tile t-1's output copy, and the wait that orders the overlapping
+    writes happens just before tile t STARTS its own copy instead of
+    right after t-1 issued its — kernels here are per-tile-latency-bound
+    (probe: ~22us/tile against ~2us of DMA payload), so hiding the copy
+    behind compute is the dominant win.  Buffer-reuse safety: tile t+2
+    refills tile t's buffer set, but tile t+1 already waited out tile t's
+    copy before starting its own, and the grid is sequential.
+    KMER_TPU_COMPACT_PIPE=0 restores the serialized single-buffer kernel.
     """
     operands = [v.astype(jnp.uint32) for v in operands]
     n = operands[0].shape[0]
@@ -1168,20 +1247,12 @@ def compact_live(
     pad_rows = tr + _WIN_EXTRA_ROWS  # dyn-offset write slack past n
     out_rows = n // _LANES + pad_rows
     n_tiles = n // tile
+    pipelined = _os.environ.get("KMER_TPU_COMPACT_PIPE", "1") == "1"
 
-    def kernel(*refs):
-        ins = refs[: n_ops + 1]  # operands + live flags
-        outs = refs[n_ops + 1 : 2 * n_ops + 1]
-        pos_ref = refs[2 * n_ops + 1]
-        shift_bufs = refs[2 * n_ops + 2 : 3 * n_ops + 2]
-        pend = refs[3 * n_ops + 2]
-        sems = refs[3 * n_ops + 3]
-        t = pl.program_id(0)
-
-        @pl.when(t == 0)
-        def _():
-            pos_ref[0] = 0
-
+    def _tile_compact(ins):
+        """In-tile delta-shift compaction: live rows dense at the front.
+        Returns (vs, c_t) — compacted operand buffers (dead slots filled
+        with SENTINEL keys / 0 payloads) and the tile's live count."""
         i = _flat_iota((tr, _LANES))
         alive = ins[n_ops][:] != jnp.uint32(0)
         dead = ~alive
@@ -1205,10 +1276,27 @@ def compact_live(
             alive = m_in | (alive & ~move)
             d *= 2
 
-        fills = [
-            SENTINEL if k < num_keys else np.uint32(0) for k in range(n_ops)
-        ]
-        vs = [jnp.where(alive, v, f) for v, f in zip(vs, fills)]
+        vs = [jnp.where(alive, v, f) for v, f in zip(vs, _fills)]
+        return vs, c_t
+
+    _fills = [
+        SENTINEL if k < num_keys else np.uint32(0) for k in range(n_ops)
+    ]
+
+    def kernel_serial(*refs):
+        ins = refs[: n_ops + 1]  # operands + live flags
+        outs = refs[n_ops + 1 : 2 * n_ops + 1]
+        pos_ref = refs[2 * n_ops + 1]
+        shift_bufs = refs[2 * n_ops + 2 : 3 * n_ops + 2]
+        pend = refs[3 * n_ops + 2]
+        sems = refs[3 * n_ops + 3]
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            pos_ref[0] = 0
+
+        vs, c_t = _tile_compact(ins)
 
         pos = pos_ref[0]
         out_row = pos // _LANES
@@ -1219,7 +1307,7 @@ def compact_live(
         for k in range(n_ops):
             buf = shift_bufs[k]
             buf[:tr] = vs[k]
-            buf[tr:] = jnp.full((buf_rows - tr, _LANES), fills[k], jnp.uint32)
+            buf[tr:] = jnp.full((buf_rows - tr, _LANES), _fills[k], jnp.uint32)
             shifted = _dyn_shift_up(buf[:], p)
             # blend the carried partial row into row 0's first p lanes
             blended = jnp.where(
@@ -1230,7 +1318,7 @@ def compact_live(
                 pltpu.make_async_copy(
                     buf.at[pl.ds(0, tr + 1)],
                     outs[k].at[pl.ds(out_row, tr + 1), :],
-                    sems.at[k],
+                    sems.at[0, k],
                 )
             )
         for c in copies:
@@ -1244,6 +1332,94 @@ def compact_live(
             pend[k, 0:1, :] = rolled[0:1, :]
         pos_ref[0] = pos + c_t
 
+    def kernel_pipe(*refs):
+        ins = refs[: n_ops + 1]  # operands + live flags
+        outs = refs[n_ops + 1 : 2 * n_ops + 1]
+        pos_ref = refs[2 * n_ops + 1]
+        shift_bufs = refs[2 * n_ops + 2 : 4 * n_ops + 2]  # 2 sets
+        pend = refs[4 * n_ops + 2]
+        sems = refs[4 * n_ops + 3]  # (2, n_ops)
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            pos_ref[0] = 0
+
+        vs, c_t = _tile_compact(ins)
+
+        pos = pos_ref[0]
+        out_row = pos // _LANES
+        p = pos - out_row * _LANES
+        lane = jax.lax.broadcasted_iota(jnp.int32, (buf_rows, _LANES), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (buf_rows, _LANES), 0)
+        q = (p + c_t) // _LANES
+
+        def io(cur, s_cur: int, s_oth: int):
+            """Stage into the parity-s_cur buffer set and issue the copy
+            (cur: this parity's staging bufs; s_cur/s_oth: semaphore rows
+            of this and the other parity)."""
+            for k in range(n_ops):
+                buf = cur[k]
+                buf[:tr] = vs[k]
+                buf[tr:] = jnp.full(
+                    (buf_rows - tr, _LANES), _fills[k], jnp.uint32
+                )
+                shifted = _dyn_shift_up(buf[:], p)
+                blended = jnp.where(
+                    (row == 0) & (lane < p), pend[k, 0:1, :], shifted
+                )
+                buf[:] = blended
+                # carry the new partial row (from the register value —
+                # identical to the buffer content just stored)
+                rolled = pltpu.roll(blended, buf_rows - q, 0)
+                pend[k, 0:1, :] = rolled[0:1, :]
+
+            copies = [
+                pltpu.make_async_copy(
+                    cur[k].at[pl.ds(0, tr + 1)],
+                    outs[k].at[pl.ds(out_row, tr + 1), :],
+                    sems.at[s_cur, k],
+                )
+                for k in range(n_ops)
+            ]
+
+            # Overlapping writes must land in grid order: the previous
+            # tile's copy (other parity, same byte size — the descriptor
+            # below is a size-equivalent stand-in) completes before this
+            # one starts.  This wait also guarantees tile t's buffers are
+            # free before t+2 refills them.
+            @pl.when(t > 0)
+            def _():
+                for k in range(n_ops):
+                    pltpu.make_async_copy(
+                        cur[k].at[pl.ds(0, tr + 1)],
+                        outs[k].at[pl.ds(out_row, tr + 1), :],
+                        sems.at[s_oth, k],
+                    ).wait()
+
+            for c in copies:
+                c.start()
+
+            # drain the final tile's copy before the kernel retires
+            @pl.when(t == n_tiles - 1)
+            def _():
+                for c in copies:
+                    c.wait()
+
+        par = jax.lax.rem(t, 2)
+
+        @pl.when(par == 0)
+        def _():
+            io(shift_bufs[:n_ops], 0, 1)
+
+        @pl.when(par == 1)
+        def _():
+            io(shift_bufs[n_ops:], 1, 0)
+
+        pos_ref[0] = pos + c_t
+
+    kernel = kernel_pipe if pipelined else kernel_serial
+    n_bufs = 2 * n_ops if pipelined else n_ops
     grid = (n_tiles,)
     in_spec = pl.BlockSpec(
         (tr, _LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
@@ -1258,9 +1434,9 @@ def compact_live(
             for _ in range(n_ops)
         ],
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)]
-        + [pltpu.VMEM((buf_rows, _LANES), jnp.uint32)] * n_ops
+        + [pltpu.VMEM((buf_rows, _LANES), jnp.uint32)] * n_bufs
         + [pltpu.VMEM((n_ops, 8, _LANES), jnp.uint32)]
-        + [pltpu.SemaphoreType.DMA((n_ops,))],
+        + [pltpu.SemaphoreType.DMA((2, n_ops))],
         interpret=interpret,
     )(
         *[v.reshape(n // _LANES, _LANES) for v in operands],

@@ -476,3 +476,51 @@ def test_bitonic_fold_extreme_splits(rng):
     c = np.ones(na, np.uint32)
     _check_fold_bitonic([lo], c, [hi], c.copy(), 1)
     _check_fold_bitonic([hi], c, [lo], c.copy(), 1)
+
+
+# ---- serial fallbacks of the double-buffered kernels -----------------------
+# The production default pipelines DMAs (compact: two staging sets by tile
+# parity; bitonic merge: next-tile window prefetch).  The env flags keep the
+# round-3 serialized forms as fallbacks — cover both so neither path rots.
+# (The flags are read at call time; these tests call the kernels directly,
+# not through a cached jit.)
+
+
+def test_compact_live_serial_fallback(rng, monkeypatch):
+    monkeypatch.setenv("KMER_TPU_COMPACT_PIPE", "0")
+    n = 3 * TILE
+    keys = rng.integers(0, 2**32, n, np.uint64).astype(np.uint32)
+    pay = rng.integers(0, 2**32, n, np.uint64).astype(np.uint32)
+    live = (rng.random(n) < 0.4).astype(np.uint32)
+    got = ps.compact_live(
+        [jnp.asarray(keys), jnp.asarray(pay)],
+        jnp.asarray(live),
+        num_keys=1,
+        tile=TILE,
+        interpret=True,
+    )
+    nl = int(live.sum())
+    assert np.array_equal(np.asarray(got[0])[:nl], keys[live != 0])
+    assert np.array_equal(np.asarray(got[1])[:nl], pay[live != 0])
+    assert np.all(np.asarray(got[0])[nl:] == 0xFFFFFFFF)
+
+
+def test_bitonic_fold_serial_fallback(rng, monkeypatch):
+    monkeypatch.setenv("KMER_TPU_MERGE_PREFETCH", "0")
+    na, nb = 2 * TILE, 2 * TILE
+    a = np.sort(rng.integers(0, 2**32, na, np.uint64).astype(np.uint32))
+    b = np.sort(rng.integers(0, 2**32, nb, np.uint64).astype(np.uint32))
+    ac = rng.integers(1, 9, na).astype(np.uint32)
+    bc = rng.integers(1, 9, nb).astype(np.uint32)
+    _check_fold_bitonic([a], ac, [b], bc, 1)
+
+
+def test_bitonic_fold_single_tile_prefetch(rng):
+    # n_tiles == 1 in the pipelined kernel: tile 0 primes, waits, never
+    # prefetches (t+1 == n_tiles) — the degenerate-grid edge.
+    na = nb = TILE // 2
+    a = np.sort(rng.integers(0, 2**16, na, np.uint64).astype(np.uint32))
+    b = np.sort(rng.integers(0, 2**16, nb, np.uint64).astype(np.uint32))
+    ac = np.ones(na, np.uint32)
+    bc = np.ones(nb, np.uint32)
+    _check_fold_bitonic([a], ac, [b], bc, 1)
