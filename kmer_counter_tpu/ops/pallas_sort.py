@@ -949,7 +949,13 @@ def _merge_pair_fold_bitonic_call(
     buf_rows = wr + _WIN_EXTRA_ROWS
     n_tiles = n // w
     n_pref = 4 + num_keys
-    prefetch = _os.environ.get("KMER_TPU_MERGE_PREFETCH", "1") == "1"
+    # Wide records (4+ key lanes, n_ops >= 5) cannot afford the second
+    # window-buffer set: measured scoped-VMEM OOM at k=55 (16.85M vs the
+    # 16M limit).  Narrow records (k <= 32) get the prefetch win; wide
+    # ones keep the full 64K tile with serialized window loads.
+    prefetch = (
+        _os.environ.get("KMER_TPU_MERGE_PREFETCH", "1") == "1" and n_ops <= 3
+    )
     n_bufs = 4 * n_ops if prefetch else 2 * n_ops
 
     def kernel(*refs):
@@ -1459,47 +1465,106 @@ def _merge_pair_call(
     a_pad, b_pad, num_keys, n, a_start, a_end, b_start, b_end, w, interpret
 ):
     """Shared kernel body for one merge-path pass over two separate
-    operand arrays (A and B live in distinct HBM buffers)."""
+    operand arrays (A and B live in distinct HBM buffers).
+
+    Window DMAs are double-buffered exactly as in the bitonic fold kernel
+    (tile t+1's copies start during tile t's merge stages; split indices
+    are scalar-prefetched).  KMER_TPU_MERGE_PREFETCH=0 restores the
+    serialized single-buffer form."""
     n_ops = len(a_pad)
     wr = _rows(w)
     buf_rows = wr + _WIN_EXTRA_ROWS
     n_tiles = n // w
     na_rows = a_pad[0].shape[0] // _LANES
     nb_rows = b_pad[0].shape[0] // _LANES
+    # see _merge_pair_fold_bitonic_call: no second buffer set for wide
+    # records (scoped-VMEM OOM at 5 operands)
+    prefetch = (
+        _os.environ.get("KMER_TPU_MERGE_PREFETCH", "1") == "1" and n_ops <= 3
+    )
+    n_bufs = 4 * n_ops if prefetch else 2 * n_ops
 
     def kernel(*refs):
         astart_r, aend_r, bstart_r, bend_r = refs[:4]
         a_ins = refs[4 : 4 + n_ops]
         b_ins = refs[4 + n_ops : 4 + 2 * n_ops]
         outs = refs[4 + 2 * n_ops : 4 + 3 * n_ops]
-        bufs = refs[4 + 3 * n_ops : 4 + 5 * n_ops]
-        sems = refs[4 + 5 * n_ops]
+        bufs = refs[4 + 3 * n_ops : 4 + 3 * n_ops + n_bufs]
+        sems = refs[4 + 3 * n_ops + n_bufs]
         t = pl.program_id(0)
+
+        def make_copies(tt, base: int, sem_row: int):
+            a_row_t = astart_r[tt] // _LANES
+            b_row_t = bstart_r[tt] // _LANES
+            copies = []
+            for i in range(n_ops):
+                copies.append(
+                    pltpu.make_async_copy(
+                        a_ins[i].at[pl.ds(a_row_t, wr + 1), :],
+                        bufs[base + 2 * i].at[pl.ds(0, wr + 1), :],
+                        sems.at[sem_row, 2 * i],
+                    )
+                )
+                copies.append(
+                    pltpu.make_async_copy(
+                        b_ins[i].at[pl.ds(b_row_t, wr + 1), :],
+                        bufs[base + 2 * i + 1].at[pl.ds(0, wr + 1), :],
+                        sems.at[sem_row, 2 * i + 1],
+                    )
+                )
+            return copies
+
         a_s, a_e = astart_r[t], aend_r[t]
         b_s, b_e = bstart_r[t], bend_r[t]
         a_row = a_s // _LANES
         b_row = b_s // _LANES
 
-        copies = []
-        for i in range(n_ops):
-            copies.append(
-                pltpu.make_async_copy(
-                    a_ins[i].at[pl.ds(a_row, wr + 1), :],
-                    bufs[2 * i].at[pl.ds(0, wr + 1), :],
-                    sems.at[2 * i],
-                )
-            )
-            copies.append(
-                pltpu.make_async_copy(
-                    b_ins[i].at[pl.ds(b_row, wr + 1), :],
-                    bufs[2 * i + 1].at[pl.ds(0, wr + 1), :],
-                    sems.at[2 * i + 1],
-                )
-            )
-        for c in copies:
-            c.start()
-        for c in copies:
-            c.wait()
+        if not prefetch:
+            copies = make_copies(t, 0, 0)
+            for c in copies:
+                c.start()
+            for c in copies:
+                c.wait()
+
+            def load(i):
+                return bufs[i][:]
+
+        else:
+            par = jax.lax.rem(t, 2)
+
+            @pl.when(t == 0)
+            def _():
+                for c in make_copies(t, 0, 0):
+                    c.start()
+
+            @pl.when(par == 0)
+            def _():
+                for c in make_copies(t, 0, 0):
+                    c.wait()
+
+            @pl.when(par == 1)
+            def _():
+                for c in make_copies(t, 2 * n_ops, 1):
+                    c.wait()
+
+            @pl.when(t + 1 < n_tiles)
+            def _():
+                tn = jnp.minimum(t + 1, n_tiles - 1)
+
+                @pl.when(par == 0)
+                def _():
+                    for c in make_copies(tn, 2 * n_ops, 1):
+                        c.start()
+
+                @pl.when(par == 1)
+                def _():
+                    for c in make_copies(tn, 0, 0):
+                        c.start()
+
+            is0 = par == 0
+
+            def load(i):
+                return jnp.where(is0, bufs[i][:], bufs[2 * n_ops + i][:])
 
         ea = a_s - a_row * _LANES
         eb = b_s - b_row * _LANES
@@ -1509,8 +1574,8 @@ def _merge_pair_call(
 
         merged = []
         for i in range(n_ops):
-            av = _dyn_shift_down(bufs[2 * i][:], ea)[:wr]
-            bv = _dyn_shift_down(bufs[2 * i + 1][:], eb)[:wr]
+            av = _dyn_shift_down(load(2 * i), ea)[:wr]
+            bv = _dyn_shift_down(load(2 * i + 1), eb)[:wr]
             if i < num_keys:
                 av = jnp.where(i2 < la, av, SENTINEL)
                 bv = jnp.where(i2 < lb, bv, SENTINEL)
@@ -1534,8 +1599,8 @@ def _merge_pair_call(
             )
         ]
         * n_ops,
-        scratch_shapes=[pltpu.VMEM((buf_rows, _LANES), jnp.uint32)] * (2 * n_ops)
-        + [pltpu.SemaphoreType.DMA((2 * n_ops,))],
+        scratch_shapes=[pltpu.VMEM((buf_rows, _LANES), jnp.uint32)] * n_bufs
+        + [pltpu.SemaphoreType.DMA((2, 2 * n_ops))],
     )
     out = pl.pallas_call(
         kernel,
