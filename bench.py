@@ -499,6 +499,11 @@ def main():
     # watchdog firing mid-comparison-phase still reports the headline.
     if "bit" in phases:
         run_two_level_phase("two-level-bitonic", bitonic=True)
+    if "fc" in phases:
+        # bitonic merge with the stream compaction fused in-kernel
+        run_two_level_phase(
+            "two-level-fused-compact", bitonic=True, fused_compact=True
+        )
     if "two" in phases:
         run_two_level_phase("two-level", fold_fused=False, bitonic=False)
     if "three" in phases:

@@ -697,6 +697,314 @@ def merge_sorted_runs_fold_bitonic(
     )
 
 
+def merge_fold_compact_bitonic(
+    a_ops: Sequence[jnp.ndarray],
+    b_desc_ops: Sequence[jnp.ndarray],
+    num_keys: int,
+    tile: int = TILE,
+    interpret: bool = False,
+) -> tuple:
+    """merge_sorted_runs_fold_bitonic with the stream compaction FUSED
+    into the same kernel: each tile's merged+folded rows run the
+    delta-shift network in-VMEM and append at a carried global offset —
+    deleting compact_live's separate read+write pass over the full
+    merged table (its copy floor alone is ~6.7ms per 37.7M-row
+    consolidation; docs/probe_compact_overhead.py).
+
+    Returns ``(compacted operands tuple, live_count)``: live rows (count
+    != 0, i.e. one row per distinct non-sentinel key) dense at the
+    front in merged order, SENTINEL-key/0-count fill past live_count.
+    Narrow records only (n_ops <= 3): wide records keep the split
+    stages (the window set + staging set exceed scoped VMEM at 5 ops).
+    """
+    a_ops = [v.astype(jnp.uint32) for v in a_ops]
+    b_ops = [v.astype(jnp.uint32) for v in b_desc_ops]
+    na, nb = a_ops[0].shape[0], b_ops[0].shape[0]
+    n = na + nb
+    if n % tile != 0:
+        raise ValueError(
+            f"merge_fold_compact_bitonic requires (na+nb) % {tile} == 0"
+        )
+    if len(a_ops) != num_keys + 1 or len(b_ops) != num_keys + 1:
+        raise ValueError("operands must be num_keys key lanes + one count")
+    a_start, a_end, b_start, b_end = _diag_splits_pair_desc(
+        a_ops[:num_keys], b_ops[:num_keys], num_keys, na, nb, tile
+    )
+    next_keys = _next_boundary_keys_desc(
+        a_ops[:num_keys], b_ops[:num_keys], num_keys, na, nb, a_end, b_end
+    )
+    pad = _rows_pad_elements(tile)
+    a_pad = [jnp.concatenate([v, jnp.zeros((pad,), jnp.uint32)]) for v in a_ops]
+    b_pad = [jnp.concatenate([v, jnp.zeros((pad,), jnp.uint32)]) for v in b_ops]
+    out, live_count = _merge_pair_fold_compact_bitonic_call(
+        a_pad, b_pad, num_keys, n, nb,
+        a_start, a_end, b_start, b_end, next_keys, tile, interpret,
+    )
+    # Rows past the final write offset were never touched — mask them.
+    idx = jnp.arange(n, dtype=jnp.int32)
+    n_ops = num_keys + 1
+    cleaned = []
+    for k in range(n_ops):
+        fill = SENTINEL if k < num_keys else np.uint32(0)
+        cleaned.append(jnp.where(idx < live_count, out[k][:n], fill))
+    return tuple(cleaned), live_count
+
+
+def _merge_pair_fold_compact_bitonic_call(
+    a_pad, b_pad, num_keys, n, nb,
+    a_start, a_end, b_start, b_end, next_keys, w, interpret,
+):
+    """Kernel: bitonic half-merge + in-VMEM count fold + in-kernel stream
+    compaction with a carried output offset.  Two independent
+    double-buffer systems, both keyed on tile parity: the input window
+    set (as in _merge_pair_fold_bitonic_call) and the compact staging
+    set (as in compact_live's pipelined kernel)."""
+    n_ops = len(a_pad)
+    wr = _rows(w)
+    buf_rows = wr + _WIN_EXTRA_ROWS
+    n_tiles = n // w
+    n_pref = 4 + num_keys
+    pad_rows = wr + _WIN_EXTRA_ROWS
+    out_rows = n // _LANES + pad_rows
+    prefetch = (
+        _os.environ.get("KMER_TPU_MERGE_PREFETCH", "1") == "1" and n_ops <= 3
+    )
+    n_wbufs = 4 * n_ops if prefetch else 2 * n_ops
+    fills = [SENTINEL if k < num_keys else np.uint32(0) for k in range(n_ops)]
+
+    def kernel(*refs):
+        astart_r, aend_r, bstart_r, bend_r = refs[:4]
+        nk_refs = refs[4:n_pref]
+        a_ins = refs[n_pref : n_pref + n_ops]
+        b_ins = refs[n_pref + n_ops : n_pref + 2 * n_ops]
+        outs = refs[n_pref + 2 * n_ops : n_pref + 3 * n_ops]
+        live_ref = refs[n_pref + 3 * n_ops]
+        base = n_pref + 3 * n_ops + 1
+        wbufs = refs[base : base + n_wbufs]
+        sbufs = refs[base + n_wbufs : base + n_wbufs + 2 * n_ops]
+        pend = refs[base + n_wbufs + 2 * n_ops]
+        carry_ref = refs[base + n_wbufs + 2 * n_ops + 1]
+        pos_ref = refs[base + n_wbufs + 2 * n_ops + 2]
+        wsems = refs[base + n_wbufs + 2 * n_ops + 3]
+        osems = refs[base + n_wbufs + 2 * n_ops + 4]
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            carry_ref[0] = 0
+            pos_ref[0] = 0
+
+        # ---- input windows (same protocol as the unfused bitonic kernel)
+        def make_wcopies(tt, wb_base: int, sem_row: int):
+            a_row_t = astart_r[tt] // _LANES
+            b_row_t = (jnp.int32(nb) - bend_r[tt]) // _LANES
+            copies = []
+            for i in range(n_ops):
+                copies.append(
+                    pltpu.make_async_copy(
+                        a_ins[i].at[pl.ds(a_row_t, wr + 1), :],
+                        wbufs[wb_base + 2 * i].at[pl.ds(0, wr + 1), :],
+                        wsems.at[sem_row, 2 * i],
+                    )
+                )
+                copies.append(
+                    pltpu.make_async_copy(
+                        b_ins[i].at[pl.ds(b_row_t, wr + 1), :],
+                        wbufs[wb_base + 2 * i + 1].at[pl.ds(0, wr + 1), :],
+                        wsems.at[sem_row, 2 * i + 1],
+                    )
+                )
+            return copies
+
+        a_s, a_e = astart_r[t], aend_r[t]
+        b_e = bend_r[t]
+        la = a_e - a_s
+        q = jnp.int32(nb) - b_e
+        a_row = a_s // _LANES
+        b_row = q // _LANES
+        par = jax.lax.rem(t, 2)
+
+        if not prefetch:
+            wcopies = make_wcopies(t, 0, 0)
+            for c in wcopies:
+                c.start()
+            for c in wcopies:
+                c.wait()
+
+            def wload(i):
+                return wbufs[i][:]
+
+        else:
+
+            @pl.when(t == 0)
+            def _():
+                for c in make_wcopies(t, 0, 0):
+                    c.start()
+
+            @pl.when(par == 0)
+            def _():
+                for c in make_wcopies(t, 0, 0):
+                    c.wait()
+
+            @pl.when(par == 1)
+            def _():
+                for c in make_wcopies(t, 2 * n_ops, 1):
+                    c.wait()
+
+            @pl.when(t + 1 < n_tiles)
+            def _():
+                tn = jnp.minimum(t + 1, n_tiles - 1)
+
+                @pl.when(par == 0)
+                def _():
+                    for c in make_wcopies(tn, 2 * n_ops, 1):
+                        c.start()
+
+                @pl.when(par == 1)
+                def _():
+                    for c in make_wcopies(tn, 0, 0):
+                        c.start()
+
+            is0 = par == 0
+
+            def wload(i):
+                return jnp.where(is0, wbufs[i][:], wbufs[2 * n_ops + i][:])
+
+        # ---- bitonic half-merge + fold (identical math to the unfused
+        # kernel)
+        ea = a_s - a_row * _LANES
+        eq = q - b_row * _LANES
+        i2 = _flat_iota((wr, _LANES))
+        z_ops = []
+        for i in range(n_ops):
+            av = _dyn_shift_down(wload(2 * i), ea)[:wr]
+            bw = _dyn_shift_down(wload(2 * i + 1), eq)[:wr]
+            zb = _dyn_shift_up_big(bw, la)
+            z_ops.append(jnp.where(i2 < la, av, zb))
+
+        merged = _bitonic_merge_stages(z_ops, num_keys, w, i2)
+        keys = merged[:num_keys]
+        counts = merged[num_keys]
+
+        is_last = i2 == (w - 1)
+        last_differs = jnp.bool_(False)
+        for i in range(num_keys):
+            ki = jax.lax.bitcast_convert_type(keys[i], jnp.int32)
+            last_i = jnp.sum(jnp.where(is_last, ki, jnp.int32(0)))
+            last_differs = last_differs | (last_i != nk_refs[i][t])
+
+        out_counts = _fold_tile_counts(
+            keys, counts, last_differs, carry_ref, w, num_keys
+        )
+
+        # ---- in-kernel compaction (compact_live's pipelined protocol)
+        alive = out_counts != jnp.uint32(0)
+        vs, c_t = _compact_network([*keys, out_counts], alive, w, fills)
+
+        pos = pos_ref[0]
+        out_row = pos // _LANES
+        p = pos - out_row * _LANES
+        lane = jax.lax.broadcasted_iota(jnp.int32, (buf_rows, _LANES), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (buf_rows, _LANES), 0)
+        qrow = (p + c_t) // _LANES
+
+        def io(cur, s_cur: int, s_oth: int):
+            for k in range(n_ops):
+                buf = cur[k]
+                buf[:wr] = vs[k]
+                buf[wr:] = jnp.full(
+                    (buf_rows - wr, _LANES), fills[k], jnp.uint32
+                )
+                shifted = _dyn_shift_up(buf[:], p)
+                blended = jnp.where(
+                    (row == 0) & (lane < p), pend[k, 0:1, :], shifted
+                )
+                buf[:] = blended
+                rolled = pltpu.roll(blended, buf_rows - qrow, 0)
+                pend[k, 0:1, :] = rolled[0:1, :]
+
+            copies = [
+                pltpu.make_async_copy(
+                    cur[k].at[pl.ds(0, wr + 1)],
+                    outs[k].at[pl.ds(out_row, wr + 1), :],
+                    osems.at[s_cur, k],
+                )
+                for k in range(n_ops)
+            ]
+
+            @pl.when(t > 0)
+            def _():
+                for k in range(n_ops):
+                    pltpu.make_async_copy(
+                        cur[k].at[pl.ds(0, wr + 1)],
+                        outs[k].at[pl.ds(out_row, wr + 1), :],
+                        osems.at[s_oth, k],
+                    ).wait()
+
+            for c in copies:
+                c.start()
+
+            @pl.when(t == n_tiles - 1)
+            def _():
+                for c in copies:
+                    c.wait()
+
+        @pl.when(par == 0)
+        def _():
+            io(sbufs[:n_ops], 0, 1)
+
+        @pl.when(par == 1)
+        def _():
+            io(sbufs[n_ops:], 1, 0)
+
+        pos_ref[0] = pos + c_t
+        live_ref[:] = jnp.full((8, _LANES), (pos + c_t).astype(jnp.uint32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=n_pref,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 * n_ops),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_ops
+        + [
+            pl.BlockSpec(
+                (8, _LANES), lambda t, *_refs: (t, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        scratch_shapes=[pltpu.VMEM((buf_rows, _LANES), jnp.uint32)] * n_wbufs
+        + [pltpu.VMEM((buf_rows, _LANES), jnp.uint32)] * (2 * n_ops)
+        + [pltpu.VMEM((n_ops, 8, _LANES), jnp.uint32)]
+        + [pltpu.SMEM((1,), jnp.int32)]
+        + [pltpu.SMEM((1,), jnp.int32)]
+        + [pltpu.SemaphoreType.DMA((2, 2 * n_ops))]
+        + [pltpu.SemaphoreType.DMA((2, n_ops))],
+    )
+    na_rows = a_pad[0].shape[0] // _LANES
+    nb_rows = b_pad[0].shape[0] // _LANES
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((out_rows, _LANES), jnp.uint32)
+            for _ in range(n_ops)
+        ]
+        + [jax.ShapeDtypeStruct((n_tiles * 8, _LANES), jnp.uint32)],
+        interpret=interpret,
+    )(
+        a_start,
+        a_end,
+        b_start,
+        b_end,
+        *next_keys,
+        *[v.reshape(na_rows, _LANES) for v in a_pad],
+        *[v.reshape(nb_rows, _LANES) for v in b_pad],
+    )
+    ops_out = tuple(
+        out[k].reshape(out_rows * _LANES) for k in range(n_ops)
+    )
+    live_count = out[n_ops][(n_tiles - 1) * 8, 0].astype(jnp.int32)
+    return ops_out, live_count
+
+
 def _fold_tile_counts(keys, counts, last_differs, carry_ref, w, num_keys):
     """The fused-fold math shared by the odd-even and bitonic merge
     kernels: given one merged sorted output tile (keys, counts), a scalar
@@ -1206,6 +1514,32 @@ def _dyn_shift_up_big(v, shift):
     return jnp.where(lane >= dl, u_here, u_prev)
 
 
+def _compact_network(vs, alive, tile: int, fills):
+    """In-tile delta-shift compaction shared by compact_live and the
+    fused merge+fold+compact kernel: rows with ``alive`` move dense to
+    the front (order preserved), dead slots take ``fills``.  ``vs`` are
+    VALUE buffers (not refs).  Returns (compacted vs, live count)."""
+    i = _flat_iota(vs[0].shape)
+    dead = ~alive
+    delta = _tile_cumsum_excl(dead.astype(jnp.int32), tile)
+    c_t = tile - jnp.sum(dead.astype(jnp.int32))
+    dr = delta
+    d = 1
+    while d < tile:
+        s = d.bit_length() - 1
+        move = alive & (((dr >> s) & 1) == 1)
+        # roll an i32 image of the mask (Mosaic bool-vector rolls are
+        # untested territory; integer rolls are probe-verified)
+        move_i = jnp.where(move, jnp.int32(1), jnp.int32(0))
+        m_in = (_partner_down(move_i, d) != 0) & (i + d < tile)
+        vs = [jnp.where(m_in, _partner_down(v, d), v) for v in vs]
+        dr = jnp.where(m_in, _partner_down(dr, d), dr)
+        alive = m_in | (alive & ~move)
+        d *= 2
+    vs = [jnp.where(alive, v, f) for v, f in zip(vs, fills)]
+    return vs, c_t
+
+
 def compact_live(
     operands: Sequence[jnp.ndarray],
     live: jnp.ndarray,
@@ -1259,31 +1593,8 @@ def compact_live(
         """In-tile delta-shift compaction: live rows dense at the front.
         Returns (vs, c_t) — compacted operand buffers (dead slots filled
         with SENTINEL keys / 0 payloads) and the tile's live count."""
-        i = _flat_iota((tr, _LANES))
         alive = ins[n_ops][:] != jnp.uint32(0)
-        dead = ~alive
-        delta = _tile_cumsum_excl(dead.astype(jnp.int32), tile)
-        c_t = tile - jnp.sum(dead.astype(jnp.int32))
-
-        vs = [r[:] for r in ins[:n_ops]]
-        dr = delta
-        d = 1
-        while d < tile:
-            s = d.bit_length() - 1
-            move = alive & (((dr >> s) & 1) == 1)
-            # roll an i32 image of the mask (Mosaic bool-vector rolls are
-            # untested territory; integer rolls are probe-verified)
-            move_i = jnp.where(move, jnp.int32(1), jnp.int32(0))
-            m_in = (_partner_down(move_i, d) != 0) & (i + d < tile)
-            vs = [
-                jnp.where(m_in, _partner_down(v, d), v) for v in vs
-            ]
-            dr = jnp.where(m_in, _partner_down(dr, d), dr)
-            alive = m_in | (alive & ~move)
-            d *= 2
-
-        vs = [jnp.where(alive, v, f) for v, f in zip(vs, _fills)]
-        return vs, c_t
+        return _compact_network([r[:] for r in ins[:n_ops]], alive, tile, _fills)
 
     _fills = [
         SENTINEL if k < num_keys else np.uint32(0) for k in range(n_ops)

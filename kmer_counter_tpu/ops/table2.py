@@ -340,6 +340,32 @@ def _c3_merge_bitonic(p_lanes, p_counts, s_desc, ones, interpret=False):
     )
 
 
+@partial(jax.jit, static_argnames=("cp", "interpret"))
+def _c3_merge_compact_bitonic(p_lanes, p_counts, s_desc, ones, cp: int, interpret=False):
+    """Stages 2+4 fused (Pallas): the bitonic half-merge with the count
+    fold AND the stream compaction in one kernel (pallas_sort.
+    merge_fold_compact_bitonic) — deletes compact_live's separate pass
+    over the full merged table.  Narrow records only (NL+1 <= 3)."""
+    from kmer_counter_tpu.ops import pallas_sort
+
+    NL = p_lanes.shape[0]
+    out, live_count = pallas_sort.merge_fold_compact_bitonic(
+        [*(p_lanes[i] for i in range(NL)), p_counts],
+        [*(s_desc[i] for i in range(NL)), ones],
+        num_keys=NL,
+        tile=pallas_sort.TILE,
+        interpret=interpret,
+    )
+    new_lanes = jnp.stack([out[i][:cp] for i in range(NL)], axis=0)
+    new_counts = out[NL][:cp]
+    return (
+        new_lanes,
+        new_counts,
+        jnp.minimum(live_count, cp),
+        jnp.maximum(live_count - cp, 0),
+    )
+
+
 @partial(jax.jit, static_argnames=("interpret", "fold"))
 def _c3_merge(p_lanes, p_counts, s_lanes, r_counts, interpret=False, fold=False):
     """Stage 2 (Pallas): one merge-path pass prefix x sorted-raw.  (No
@@ -393,9 +419,24 @@ def _consolidate3_split(
     interpret: bool = False,
     fold_fused: bool = False,
     bitonic: bool = False,
+    fused_compact: bool = False,
 ):
     """consolidate3 as separately jitted stages (see block comment)."""
     NL, CP = table.prefix_lanes.shape
+    if bitonic and fused_compact and NL + 1 <= 3:
+        s_desc, ones = _c3_sort_raw_desc(table.raw_lanes, table.raw_off)
+        new_lanes, new_counts, live, lost = _c3_merge_compact_bitonic(
+            table.prefix_lanes,
+            table.prefix_counts,
+            s_desc,
+            ones,
+            CP,
+            interpret=interpret,
+        )
+        out = table._replace(
+            prefix_lanes=new_lanes, prefix_counts=new_counts, raw_off=jnp.int32(0)
+        )
+        return out, live, lost
     if bitonic:
         s_desc, ones = _c3_sort_raw_desc(table.raw_lanes, table.raw_off)
         merged = _c3_merge_bitonic(
@@ -515,6 +556,7 @@ def consolidate3(
     _interpret: bool = False,
     fold_fused: bool | None = None,
     bitonic: bool | None = None,
+    fused_compact: bool | None = None,
 ):
     """Pallas-merge consolidation: raw keys-only lax sort + in-place
     multiplicities + ONE merge-path pass against the prefix
@@ -562,6 +604,11 @@ def consolidate3(
         # PASS including the traced sublane rotate and the dead-row
         # positional-liveness protocol).
         bitonic = os.environ.get("KMER_TPU_BITONIC", "1") == "1"
+    if fused_compact is None:
+        # Fuse the stream compaction into the bitonic merge kernel
+        # (narrow records only; implies bitonic) — deletes compact_live's
+        # separate pass over the merged table.
+        fused_compact = os.environ.get("KMER_TPU_FUSED_COMPACT", "0") == "1"
     if os.environ.get("KMER_TPU_MONO_CONSOLIDATE", "0") == "1":
         # The single-program variants: never finished compiling through
         # this environment's remote tunnel (see _consolidate3_split's
@@ -571,7 +618,11 @@ def consolidate3(
             return _consolidate3_fold_impl(table, interpret=_interpret)
         return _consolidate3_impl(table, interpret=_interpret)
     return _consolidate3_split(
-        table, interpret=_interpret, fold_fused=fold_fused, bitonic=bitonic
+        table,
+        interpret=_interpret,
+        fold_fused=fold_fused,
+        bitonic=bitonic,
+        fused_compact=fused_compact,
     )
 
 

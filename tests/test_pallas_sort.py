@@ -524,3 +524,53 @@ def test_bitonic_fold_single_tile_prefetch(rng):
     ac = np.ones(na, np.uint32)
     bc = np.ones(nb, np.uint32)
     _check_fold_bitonic([a], ac, [b], bc, 1)
+
+
+def test_fused_compact_matches_unfused_pipeline(rng):
+    # merge_fold_compact_bitonic == merge_sorted_runs_fold_bitonic +
+    # compact_live, including sentinel prefix holes and dead raw rows.
+    na, nb = 2 * TILE, 2 * TILE
+    a0 = np.sort(rng.integers(1, 64, na, np.uint64).astype(np.uint32))
+    a1 = rng.integers(0, 4, na, np.uint64).astype(np.uint32)
+    o = np.lexsort((a1, a0)); a0, a1 = a0[o], a1[o]
+    a0[-TILE // 2:] = 0xFFFFFFFF
+    a1[-TILE // 2:] = 0xFFFFFFFF
+    ac = np.where(a0 != 0xFFFFFFFF, 2, 0).astype(np.uint32)
+    b0 = np.sort(rng.integers(1, 64, nb, np.uint64).astype(np.uint32))
+    b1 = rng.integers(0, 4, nb, np.uint64).astype(np.uint32)
+    o = np.lexsort((b1, b0)); b0, b1 = b0[o], b1[o]
+    b0[: TILE // 3] = 0
+    b1[: TILE // 3] = 0
+    bc = np.ones(nb, np.uint32)
+    bc[: TILE // 3] = 0
+
+    A = [jnp.asarray(a0), jnp.asarray(a1), jnp.asarray(ac)]
+    B = [jnp.asarray(b0[::-1].copy()), jnp.asarray(b1[::-1].copy()),
+         jnp.asarray(bc[::-1].copy())]
+
+    m = ps.merge_sorted_runs_fold_bitonic(A, B, 2, tile=TILE, interpret=True)
+    ref = ps.compact_live(list(m), m[2], num_keys=2, tile=TILE, interpret=True)
+    ref_live = int(np.sum(np.asarray(m[2]) != 0))
+
+    got, live = ps.merge_fold_compact_bitonic(A, B, 2, tile=TILE, interpret=True)
+    assert int(live) == ref_live
+    for i in range(3):
+        assert np.array_equal(np.asarray(got[i]), np.asarray(ref[i])), f"op{i}"
+
+
+def test_fused_compact_serial_fallbacks(rng, monkeypatch):
+    # the fused kernel with both double-buffer systems disabled
+    monkeypatch.setenv("KMER_TPU_MERGE_PREFETCH", "0")
+    na = nb = TILE
+    a = np.sort(rng.integers(0, 2**20, na, np.uint64).astype(np.uint32))
+    b = np.sort(rng.integers(0, 2**20, nb, np.uint64).astype(np.uint32))
+    ac = rng.integers(1, 5, na).astype(np.uint32)
+    bc = rng.integers(1, 5, nb).astype(np.uint32)
+    A = [jnp.asarray(a), jnp.asarray(ac)]
+    B = [jnp.asarray(b[::-1].copy()), jnp.asarray(bc[::-1].copy())]
+    m = ps.merge_sorted_runs_fold_bitonic(A, B, 1, tile=TILE, interpret=True)
+    ref = ps.compact_live(list(m), m[1], num_keys=1, tile=TILE, interpret=True)
+    got, live = ps.merge_fold_compact_bitonic(A, B, 1, tile=TILE, interpret=True)
+    assert int(live) == int(np.sum(np.asarray(m[1]) != 0))
+    for i in range(2):
+        assert np.array_equal(np.asarray(got[i]), np.asarray(ref[i])), f"op{i}"

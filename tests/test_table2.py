@@ -99,6 +99,7 @@ VARIANTS = {
     "plain": dict(fold_fused=False, bitonic=False),
     "fused": dict(fold_fused=True, bitonic=False),
     "bitonic": dict(bitonic=True),
+    "fused_compact": dict(bitonic=True, fused_compact=True),
 }
 
 
