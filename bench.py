@@ -267,6 +267,38 @@ def selftest():
             )
             if not okc:
                 failures.append("compact_live")
+    # the production default: merge + fold + compaction in one kernel
+    t0 = time.perf_counter()
+    try:
+        got_fc, live = jax.jit(
+            lambda x0, x1, xc, y0, y1, yc: ps.merge_fold_compact_bitonic(
+                [x0, x1, xc], [y0, y1, yc], 2
+            )
+        )(
+            *map(
+                jnp.asarray,
+                (a0, a1, ac, b0[::-1].copy(), b1[::-1].copy(), bc[::-1].copy()),
+            )
+        )
+        got_fc = [np.asarray(jax.device_get(v)) for v in got_fc]
+        nl = int((want_c != 0).sum())
+        keep = want_c != 0
+        okf = (
+            int(live) == nl
+            and np.array_equal(got_fc[0][:nl], want0[keep])
+            and np.array_equal(got_fc[1][:nl], want1[keep])
+            and np.array_equal(got_fc[2][:nl], want_c[keep])
+        )
+    except Exception as e:
+        _log(f"selftest merge_fold_compact: ERROR {e!r}")
+        failures.append("merge_fold_compact")
+    else:
+        _log(
+            f"selftest merge_fold_compact: {'PASS' if okf else 'FAIL'} "
+            f"({time.perf_counter() - t0:.1f}s)"
+        )
+        if not okf:
+            failures.append("merge_fold_compact")
     if failures:
         print(json.dumps({"selftest": "FAIL", "failures": failures}), flush=True)
         os._exit(1)
@@ -283,7 +315,7 @@ def main():
     k = int(os.environ.get("BENCH_K", 31))
     canonical = os.environ.get("BENCH_CANONICAL", "1") == "1"
     L = int(os.environ.get("BENCH_LINE_LEN", 100))
-    phases = os.environ.get("BENCH_PHASES", "one,bit,three,hc").split(",")
+    phases = os.environ.get("BENCH_PHASES", "one,fc,bit,three,hc").split(",")
     deadline_s = float(os.environ.get("BENCH_DEADLINE_S", 560))
     metric = f"kmers_per_sec_per_chip_k{k}"
 
@@ -497,12 +529,15 @@ def main():
     # over the descending raw sort.  Each banks incrementally.  "bit"
     # (the production default and best number) runs FIRST so a cold-cache
     # watchdog firing mid-comparison-phase still reports the headline.
-    if "bit" in phases:
-        run_two_level_phase("two-level-bitonic", bitonic=True)
     if "fc" in phases:
-        # bitonic merge with the stream compaction fused in-kernel
+        # the production default: bitonic merge with the stream
+        # compaction fused in-kernel
         run_two_level_phase(
             "two-level-fused-compact", bitonic=True, fused_compact=True
+        )
+    if "bit" in phases:
+        run_two_level_phase(
+            "two-level-bitonic", bitonic=True, fused_compact=False
         )
     if "two" in phases:
         run_two_level_phase("two-level", fold_fused=False, bitonic=False)
@@ -513,7 +548,11 @@ def main():
     # the remote chip is ~±10% (a full-run bitonic phase measured 144.2M
     # against 160.2M dedicated), and with a warm cache the re-run costs
     # ~20s.  The bank keeps the best.
-    if "bit" in phases:
+    if "fc" in phases:
+        run_two_level_phase(
+            "two-level-fused-compact-2", bitonic=True, fused_compact=True
+        )
+    elif "bit" in phases:
         run_two_level_phase("two-level-bitonic-2", bitonic=True)
 
     if "hc" in phases:

@@ -605,10 +605,13 @@ def consolidate3(
         # positional-liveness protocol).
         bitonic = os.environ.get("KMER_TPU_BITONIC", "1") == "1"
     if fused_compact is None:
-        # Fuse the stream compaction into the bitonic merge kernel
-        # (narrow records only; implies bitonic) — deletes compact_live's
-        # separate pass over the merged table.
-        fused_compact = os.environ.get("KMER_TPU_FUSED_COMPACT", "0") == "1"
+        # Default ON: fuse the stream compaction into the bitonic merge
+        # kernel (narrow records only — wide records and the non-bitonic
+        # variants keep the split stages) — deletes compact_live's
+        # separate pass over the merged table.  Golden byte-exact on-chip
+        # (run_configs config 2) and +1.1% same-session at k=31;
+        # KMER_TPU_FUSED_COMPACT=0 reverts to split merge+compact.
+        fused_compact = os.environ.get("KMER_TPU_FUSED_COMPACT", "1") == "1"
     if os.environ.get("KMER_TPU_MONO_CONSOLIDATE", "0") == "1":
         # The single-program variants: never finished compiling through
         # this environment's remote tunnel (see _consolidate3_split's
