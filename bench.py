@@ -82,7 +82,20 @@ def _arm_watchdog(deadline_s):
 
     def fire():
         time.sleep(deadline_s)
-        _log(f"watchdog fired at {deadline_s}s — emitting best banked result")
+        # Degraded remote service: a first-dispatch stall can exceed the
+        # whole deadline (observed >560s) leaving NOTHING banked — exiting
+        # now would print no JSON at all (worse than a late result).  Hold
+        # on in a grace window polling for the first bank; the headline
+        # phase banks a coarse floor right after its warmup, so any stall
+        # that ends inside the grace converts into a real number.
+        grace_s = float(os.environ.get("BENCH_GRACE_S", 600))
+        t0 = time.perf_counter()
+        while _BANK["json"] is None and time.perf_counter() - t0 < grace_s:
+            time.sleep(10)
+        _log(
+            f"watchdog fired at {deadline_s}s "
+            f"(+{time.perf_counter() - t0:.0f}s grace) — emitting best banked"
+        )
         _emit_and_exit(0)
 
     threading.Thread(target=fire, daemon=True).start()
@@ -390,9 +403,12 @@ def main():
 
     best_tput = 0.0
 
-    if "one" in phases:
-        # Phase 1 — one-level table (ops.table): executables are
-        # compile-cached from round 1; banks a result fast.
+    def run_one_level_phase():
+        # One-level table (ops.table): the round-1 design comparison.
+        # Runs AFTER the fc headline phase so a degraded remote service
+        # (first-dispatch stalls up to ~520s) can't spend the watchdog
+        # budget on the slowest phase before the production path banks.
+        nonlocal best_tput
         try:
             table = jax.device_put(
                 table_ops.make_table(capacity, active_lanes(k)), device
@@ -495,7 +511,17 @@ def main():
                 state["bound"] += kmers_per_chunk
                 return table
 
-            dt, table = _measure(step2, drain2, table, iters2, label)
+            def warm_bank2(n_chunks, dt_w):
+                # Coarse floor right after warmup so a degraded remote
+                # service (first-dispatch stalls past the deadline) still
+                # yields a real banked number the moment it recovers.
+                coarse = n_chunks * kmers_per_chunk / dt_w
+                if bank_best and _BANK["json"] is None:
+                    _bank(metric, coarse, coarse / proxy_tput)
+
+            dt, table = _measure(
+                step2, drain2, table, iters2, label, on_warmup=warm_bank2
+            )
             del table
             tput = iters2 * kmers_per_chunk / dt
             _log(
@@ -535,6 +561,8 @@ def main():
         run_two_level_phase(
             "two-level-fused-compact", bitonic=True, fused_compact=True
         )
+    if "one" in phases:
+        run_one_level_phase()
     if "bit" in phases:
         run_two_level_phase(
             "two-level-bitonic", bitonic=True, fused_compact=False
