@@ -282,14 +282,14 @@ def _c3_sort_raw_ones(raw_lanes, raw_off):
 
 
 def _kernel_tile(n_ops: int) -> int:
-    """Merge/compact window size by operand count: wide records (k>32,
-    three+ key lanes + counts) halve the tile — at the full 64K tile a
-    5-operand ODD-EVEN merge peaks ~16.6MB of scoped VMEM against the
-    16MB limit (measured OOM at k=55, round 3).  Halving trades one
-    extra merge stage for half the buffer footprint; (CP+CR) stays a
-    multiple of either tile.  The bitonic half-merge path keeps the full
-    tile at every width (its live buffers are w-element, not 2w — see
-    _c3_merge_bitonic)."""
+    """NON-PRODUCTION fallbacks only (the default bitonic/fused-compact
+    paths keep pallas_sort.TILE at every record width — their live
+    buffers are w-element, not 2w).  For the odd-even variants
+    (KMER_TPU_BITONIC=0): wide records (k>32, three+ key lanes + counts)
+    halve the tile — at the full 64K tile a 5-operand ODD-EVEN merge
+    peaks ~16.6MB of scoped VMEM against the 16MB limit (measured OOM at
+    k=55, round 3).  Halving trades one extra merge stage for half the
+    buffer footprint; (CP+CR) stays a multiple of either tile."""
     from kmer_counter_tpu.ops import pallas_sort
 
     return pallas_sort.TILE if n_ops <= 3 else pallas_sort.TILE // 2
