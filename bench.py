@@ -328,6 +328,11 @@ def main():
     k = int(os.environ.get("BENCH_K", 31))
     canonical = os.environ.get("BENCH_CANONICAL", "1") == "1"
     L = int(os.environ.get("BENCH_LINE_LEN", 100))
+    if L < k:
+        raise SystemExit(
+            f"BENCH_LINE_LEN={L} < BENCH_K={k}: no k-mers can be extracted "
+            f"(set BENCH_LINE_LEN > k, e.g. BENCH_LINE_LEN={k + 49})"
+        )
     phases = os.environ.get("BENCH_PHASES", "one,fc,bit,three,hc").split(",")
     deadline_s = float(os.environ.get("BENCH_DEADLINE_S", 560))
     metric = f"kmers_per_sec_per_chip_k{k}"

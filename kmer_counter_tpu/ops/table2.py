@@ -321,13 +321,25 @@ def _c3_sort_raw_desc(raw_lanes, raw_off):
     return s_desc, ones
 
 
+def _bitonic_tile(n_ops: int) -> int:
+    """Bitonic merge window by operand count: the halved live footprint
+    (w-element buffers, not 2w) keeps the full 64K tile through FIVE
+    operands (k<=64; validated on-chip at k=55), but the widest records
+    OOM scoped VMEM at the full tile — measured 18.76M vs the 16M limit
+    at 8 operands (k=101, 7 key lanes + counts).  Halve beyond five;
+    (CP+CR) is a multiple of TILE, hence of either window."""
+    from kmer_counter_tpu.ops import pallas_sort
+
+    return pallas_sort.TILE if n_ops <= 5 else pallas_sort.TILE // 2
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def _c3_merge_bitonic(p_lanes, p_counts, s_desc, ones, interpret=False):
     """Stage 2 (Pallas, bitonic): one half-merge pass prefix x descending
     sorted-raw with the fused count fold — 16 compare-exchange stages on
     w-element buffers instead of 17 on 2w (pallas_sort.
-    merge_sorted_runs_fold_bitonic), and the halved live footprint keeps
-    the full 64K tile for wide records (k=55/128)."""
+    merge_sorted_runs_fold_bitonic), at the full 64K tile through k=64
+    (_bitonic_tile)."""
     from kmer_counter_tpu.ops import pallas_sort
 
     NL = p_lanes.shape[0]
@@ -335,7 +347,7 @@ def _c3_merge_bitonic(p_lanes, p_counts, s_desc, ones, interpret=False):
         [*(p_lanes[i] for i in range(NL)), p_counts],
         [*(s_desc[i] for i in range(NL)), ones],
         num_keys=NL,
-        tile=pallas_sort.TILE,
+        tile=_bitonic_tile(NL + 1),
         interpret=interpret,
     )
 

@@ -293,3 +293,26 @@ def test_consolidate3_fold_fused_accepts_pair_row_prefix(rng, variant):
     got = table_counter(table, k)
     want = {key: 3 * c for key, c in golden.count_reads(reads, k, False).items()}
     assert got == want
+
+
+def test_consolidate3_bitonic_widest_records(rng):
+    # k=101: 7 key lanes + counts = 8 operands — the widest-record
+    # regime.  On the chip the 8-operand bitonic merge OOMs scoped VMEM
+    # at the full 64K tile (18.76M vs the 16M limit, measured round 4);
+    # _bitonic_tile halves the window beyond five operands.  Interpret
+    # mode exercises the halved-tile path end-to-end against golden.
+    k = 101
+    NL = records.active_lanes(k)
+    assert NL == 7
+    CP, CR = 16384, 49152
+    table = t2.make_table2(CP, CR, NL)
+    chunks = [random_reads(rng, 8, 120, invalid_frac=0.03) for _ in range(3)]
+    for i, reads in enumerate(chunks):
+        lanes, allt = extract_chunk_keys(jnp.asarray(reads), k, True)
+        if not t2.raw_append_fits(table, lanes.shape[1]) or i == 1:
+            table, live, lost = t2.consolidate3(table, _interpret=True, bitonic=True)
+            assert int(lost) == 0
+        table = t2.append_raw(table, lanes, allt)
+    got = table_counter(table, k)
+    want = dict(golden.count_reads(np.vstack(chunks), k, True))
+    assert got == want
