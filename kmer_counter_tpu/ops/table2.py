@@ -365,7 +365,7 @@ def _c3_merge_compact_bitonic(p_lanes, p_counts, s_desc, ones, cp: int, interpre
         [*(p_lanes[i] for i in range(NL)), p_counts],
         [*(s_desc[i] for i in range(NL)), ones],
         num_keys=NL,
-        tile=pallas_sort.TILE,
+        tile=_bitonic_tile(NL + 1),
         interpret=interpret,
     )
     new_lanes = jnp.stack([out[i][:cp] for i in range(NL)], axis=0)
@@ -435,7 +435,7 @@ def _consolidate3_split(
 ):
     """consolidate3 as separately jitted stages (see block comment)."""
     NL, CP = table.prefix_lanes.shape
-    if bitonic and fused_compact and NL + 1 <= 3:
+    if bitonic and fused_compact and NL + 1 <= 5:
         s_desc, ones = _c3_sort_raw_desc(table.raw_lanes, table.raw_off)
         new_lanes, new_counts, live, lost = _c3_merge_compact_bitonic(
             table.prefix_lanes,

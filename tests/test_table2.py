@@ -240,12 +240,13 @@ def test_consolidate3_fold_fused_lost_detection(rng):
     assert int(lost) > 0
 
 
-@pytest.mark.parametrize("variant", ["fused", "bitonic"])
+@pytest.mark.parametrize("variant", ["fused", "bitonic", "fused_compact"])
 def test_consolidate3_fold_fused_wide_records(rng, variant):
     # k=55: 4 key lanes + counts = 5 operands.  The odd-even variant runs
     # at the halved tile (_kernel_tile; full-tile 5-op odd-even merge
-    # OOMs scoped VMEM on the chip); the bitonic variant keeps the full
-    # 64K tile.  CP+CR stays a multiple of both tiles.
+    # OOMs scoped VMEM on the chip); the bitonic variants keep the full
+    # 64K tile (5 operands is _bitonic_tile's full-tile limit, and the
+    # fused-compact gate's).  CP+CR stays a multiple of both tiles.
     kw = VARIANTS[variant]
     k = 55
     NL = records.active_lanes(k)
