@@ -435,12 +435,13 @@ def _consolidate3_split(
 ):
     """consolidate3 as separately jitted stages (see block comment)."""
     NL, CP = table.prefix_lanes.shape
-    # Fused gate: on-chip validated through FIVE operands (k<=64; configs
-    # 2 and 4 golden byte-exact).  The 8-operand fused kernel passes the
-    # k=101 golden test in interpret mode at the halved tile, but the
-    # remote service degraded before an on-chip compile could prove its
-    # scoped-VMEM fit — wider records keep the validated split stages.
-    if bitonic and fused_compact and NL + 1 <= 5:
+    # Fused path at every record width: full 64K tile through five
+    # operands, halved beyond (_bitonic_tile).  On-chip validated: golden
+    # byte-exact configs 2 and 4 (k=31/55), and the 8-operand kernel
+    # compile-fits scoped VMEM at the 32K tile with a golden-matched run
+    # (docs note: 20.9s compile, round 4 — the gate this replaces
+    # guarded exactly that fit).
+    if bitonic and fused_compact:
         s_desc, ones = _c3_sort_raw_desc(table.raw_lanes, table.raw_off)
         new_lanes, new_counts, live, lost = _c3_merge_compact_bitonic(
             table.prefix_lanes,
