@@ -555,11 +555,12 @@ def main():
         except Exception as e:
             _log(f"{label} phase failed: {e!r}")
 
-    # Phase 2 — split-stage Pallas-merge consolidation; phase 3 upgrades
-    # to the in-kernel count fold; phase "bit" to the bitonic half-merge
-    # over the descending raw sort.  Each banks incrementally.  "bit"
-    # (the production default and best number) runs FIRST so a cold-cache
-    # watchdog firing mid-comparison-phase still reports the headline.
+    # Phases bank incrementally.  "fc" (fused merge+fold+compact — the
+    # production default and best number) runs FIRST so a cold-cache
+    # watchdog firing mid-comparison-phase still reports the headline;
+    # "one"/"bit"/"two"/"three" are comparison phases (one-level design,
+    # bitonic half-merge with split compact, odd-even merge, odd-even
+    # with the in-kernel count fold).
     if "fc" in phases:
         # the production default: bitonic merge with the stream
         # compaction fused in-kernel

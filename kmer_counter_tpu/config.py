@@ -106,8 +106,12 @@ class Options:
     def from_argv(cls, argv: list[str]) -> "Options":
         """Parse reference-style ``key=value`` args (main.cpp:32-67).
 
-        Unknown args are ignored, as in the reference parser.
+        Unknown args are ignored for reference parity (main.cpp does the
+        same), but each one gets a stderr warning so a typo'd flag (e.g.
+        ``canonicl=true``) cannot silently change semantics.
         """
+        import sys
+
         opts = cls()
         for arg in argv:
             if "=" not in arg:
@@ -115,6 +119,11 @@ class Options:
             key, _, value = arg.partition("=")
             spec = cls._FLAGS.get(key)
             if spec is None:
+                print(
+                    f"warning: ignoring unknown flag {key!r}"
+                    f" (known: {', '.join(sorted(cls._FLAGS))})",
+                    file=sys.stderr,
+                )
                 continue
             attr, parse = spec
             setattr(opts, attr, parse(value))

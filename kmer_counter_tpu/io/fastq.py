@@ -136,6 +136,7 @@ class FASTQReader:
             self._eof = True
             self._carry = b""
             if not data:
+                self._check_complete()
                 return False
             # Final unterminated line counts as a line.
             if not data.endswith(b"\n"):
@@ -167,6 +168,23 @@ class FASTQReader:
                 if ends.size == 0:
                     return False
         self._pos += len(data)  # data excludes the new carry tail
+        # Structural validation: phase tracking alone would silently
+        # desynchronize on a malformed file (a missing line shifts
+        # quality lines into sequence position until — maybe — the
+        # line-length check trips).  Headers must start with '@' and
+        # separator lines with '+'; an empty line fails both (its first
+        # byte is the newline itself).  Fail loudly instead of desyncing.
+        firsts = arr[starts]
+        bad_hdr = ((line_idx & 3) == 0) & (firsts != ord("@"))
+        bad_sep = ((line_idx & 3) == 2) & (firsts != ord("+"))
+        if bad_hdr.any() or bad_sep.any():
+            at = int(np.argmax(bad_hdr | bad_sep))
+            kind = "header '@'" if bad_hdr[at] else "separator '+'"
+            raise ValueError(
+                f"{self.path}: malformed FASTQ — expected a {kind} line at "
+                f"byte offset {self._pos - len(data) + int(starts[at])} "
+                "(missing or extra line upstream?)"
+            )
         is_seq = (line_idx & 3) == 1
         self._phase = int(line_idx[-1] + 1) & 3
         for s, e in zip(starts[is_seq], ends[is_seq]):
@@ -179,7 +197,18 @@ class FASTQReader:
                     f"the file's line length {self.line_length}"
                 )
             self._pending.append(line)
+        if self._eof and self._limit is None:
+            self._check_complete()
         return True
+
+    def _check_complete(self):
+        """At true EOF the file must end on a record boundary (phase 0);
+        a nonzero phase means the last record was truncated mid-stream."""
+        if self._phase != 0:
+            raise ValueError(
+                f"{self.path}: malformed FASTQ — file ends mid-record "
+                f"({self._phase} of 4 lines in the final record)"
+            )
 
     def read_chunk(self, max_reads: int) -> FASTQChunk | None:
         """Up to ``max_reads`` reads as a dense matrix; None when exhausted

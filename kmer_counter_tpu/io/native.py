@@ -129,8 +129,9 @@ class NativeFASTQReader:
         )
         if n < 0:
             raise ValueError(
-                f"{self.path}: sequence line exceeds line length "
-                f"{self.line_length}"
+                f"{self.path}: malformed FASTQ (truncated record, "
+                "misplaced header/separator line, or a sequence line "
+                f"exceeding line length {self.line_length})"
             )
         if n == 0:
             self.close()

@@ -714,8 +714,10 @@ def merge_fold_compact_bitonic(
     Returns ``(compacted operands tuple, live_count)``: live rows (count
     != 0, i.e. one row per distinct non-sentinel key) dense at the
     front in merged order, SENTINEL-key/0-count fill past live_count.
-    Narrow records only (n_ops <= 3): wide records keep the split
-    stages (the window set + staging set exceed scoped VMEM at 5 ops).
+    Every record width is supported: full 64K tile through five
+    operands (k<=64), halved tile beyond (table2._bitonic_tile) — the
+    8-operand kernel fits scoped VMEM at 32K and golden-matched on-chip
+    at k=101 (round 4).
     """
     a_ops = [v.astype(jnp.uint32) for v in a_ops]
     b_ops = [v.astype(jnp.uint32) for v in b_desc_ops]
@@ -867,6 +869,12 @@ def _merge_pair_fold_compact_bitonic_call(
 
             is0 = par == 0
 
+            # Deliberate benign race: the select reads BOTH buffer sets,
+            # including the one the just-started DMA for tile t+1 is
+            # concurrently writing — those lanes are discarded by the
+            # jnp.where, so the result is unaffected (on-chip validated).
+            # If Mosaic ever flags concurrent reads, load each set under
+            # pl.when(parity) instead.
             def wload(i):
                 return jnp.where(is0, wbufs[i][:], wbufs[2 * n_ops + i][:])
 
@@ -1367,6 +1375,9 @@ def _merge_pair_fold_bitonic_call(
 
             is0 = par == 0
 
+            # Deliberate benign race (see wload in the fused kernel): the
+            # inactive buffer set may be mid-DMA; its lanes are discarded
+            # by the select.
             def load(i):
                 return jnp.where(is0, bufs[i][:], bufs[2 * n_ops + i][:])
 
@@ -1874,6 +1885,9 @@ def _merge_pair_call(
 
             is0 = par == 0
 
+            # Deliberate benign race (see wload in the fused kernel): the
+            # inactive buffer set may be mid-DMA; its lanes are discarded
+            # by the select.
             def load(i):
                 return jnp.where(is0, bufs[i][:], bufs[2 * n_ops + i][:])
 

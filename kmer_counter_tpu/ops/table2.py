@@ -357,7 +357,9 @@ def _c3_merge_compact_bitonic(p_lanes, p_counts, s_desc, ones, cp: int, interpre
     """Stages 2+4 fused (Pallas): the bitonic half-merge with the count
     fold AND the stream compaction in one kernel (pallas_sort.
     merge_fold_compact_bitonic) — deletes compact_live's separate pass
-    over the full merged table.  Narrow records only (NL+1 <= 3)."""
+    over the full merged table.  Dispatched at every record width: full
+    64K tile through five operands, halved beyond (_bitonic_tile);
+    golden-matched on-chip at k=31/55/101."""
     from kmer_counter_tpu.ops import pallas_sort
 
     NL = p_lanes.shape[0]

@@ -206,7 +206,13 @@ long kc_read_chunk(void* h, unsigned char* out, long max_reads) {
   while (delivered < max_reads && !r->done) {
     size_t s, e;
     if (!next_line(r, &s, &e)) {
-      if (!refill(r)) break;
+      if (!refill(r)) {
+        // True EOF mid-record: the file is truncated — fail loudly
+        // instead of silently dropping the partial record (range mode
+        // excepted: ranges legitimately cut inside the buffered tail).
+        if (r->limit < 0 && (r->phase & 3) != 0) return -1;
+        break;
+      }
       continue;
     }
     if ((r->phase & 3) == 0 && r->limit >= 0 &&
@@ -216,6 +222,11 @@ long kc_read_chunk(void* h, unsigned char* out, long max_reads) {
       r->done = true;
       break;
     }
+    // Structural validation (matches io.fastq.FASTQReader._parse_block):
+    // phase tracking alone would desync on a malformed file.  Headers
+    // must start with '@', separators with '+'; empty lines fail both.
+    if ((r->phase & 3) == 0 && (e == s || r->buf[s] != '@')) return -1;
+    if ((r->phase & 3) == 2 && (e == s || r->buf[s] != '+')) return -1;
     bool is_seq = (r->phase & 3) == 1;
     r->phase = (r->phase + 1) & 3;
     if (!is_seq) continue;

@@ -138,3 +138,17 @@ def test_print_records_chunk_boundary(tmp_path):
     lines = out_file.read_text().splitlines()
     assert n == len(words) == len(lines)
     assert lines[-1].endswith(f" {counts[-1]}")
+
+
+def test_unknown_flag_warns_but_is_ignored(capsys):
+    """Reference parity: unknown flags are ignored (main.cpp ignores
+    anything it doesn't strncmp-match) — but we print one stderr warning
+    so a typo'd flag can't silently change semantics (VERDICT r4 item 8)."""
+    from kmer_counter_tpu.config import Options
+
+    opts = Options.from_argv(["kmerLength=21", "canonicl=true", "bogus=1"])
+    assert opts.kmer_length == 21
+    assert opts.canonical is False  # the typo did NOT flip semantics
+    err = capsys.readouterr().err
+    assert "canonicl" in err and "bogus" in err
+    assert "unknown flag" in err

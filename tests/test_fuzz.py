@@ -107,3 +107,83 @@ def test_parallel_ingest_matches_sequential_fuzzed(tmp_path, seed):
         max_reads,
     )
     assert got == want, f"seed={seed} files={n_files} L={L}"
+
+
+# ---------------------------------------------------------------------------
+# Malformed-FASTQ loud-failure cases: both parsers track record phase by
+# line counting, so a missing/extra/truncated line must raise instead of
+# silently shifting sequence/quality assignment (VERDICT r4 item 8).
+
+
+def _corrupt(text: str, mode: str) -> str:
+    lines = text.split("\n")
+    if mode == "drop_quality":  # quality of record 1 vanishes
+        del lines[7]
+    elif mode == "drop_separator":  # '+' of record 1 vanishes
+        del lines[6]
+    elif mode == "truncate_mid_record":  # file ends after a sequence line
+        lines = lines[:6]
+    elif mode == "blank_line":  # stray empty line between records
+        lines.insert(4, "")
+    else:
+        raise AssertionError(mode)
+    return "\n".join(lines)
+
+
+@pytest.mark.parametrize(
+    "mode", ["drop_quality", "drop_separator", "truncate_mid_record", "blank_line"]
+)
+@pytest.mark.parametrize("parser", ["python", "native"])
+def test_malformed_fastq_fails_loudly(tmp_path, mode, parser):
+    from kmer_counter_tpu.io import native
+    from kmer_counter_tpu.io.fastq import FASTQReader
+
+    if parser == "native" and not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(7)
+    L = 30
+    text = ""
+    for i in range(4):
+        seq = "".join(rng.choice(list("ACGT"), size=L))
+        text += f"@r{i} x\n{seq}\n+\n{'I' * L}\n"
+    path = tmp_path / "bad.fastq"
+    path.write_text(_corrupt(text, mode))
+
+    def drain(reader):
+        while reader.read_chunk(8) is not None:
+            pass
+
+    opener = (
+        FASTQReader if parser == "python" else native.NativeFASTQReader
+    )
+    with pytest.raises(ValueError):
+        drain(opener(str(path)))
+
+
+@pytest.mark.parametrize("parser", ["python", "native"])
+def test_wellformed_fastq_still_parses(tmp_path, parser):
+    """The validation must not reject legal files: '@'/'+'-leading quality
+    lines, missing trailing newline, CRLF endings."""
+    from kmer_counter_tpu.io import native
+    from kmer_counter_tpu.io.fastq import FASTQReader
+
+    if parser == "native" and not native.available():
+        pytest.skip("native library not built")
+    L = 12
+    recs = [
+        ("@r0 a", "ACGTACGTACGT", "+", "@" + "I" * (L - 1)),
+        ("@r1 b", "TTTTACGTACGT", "+r1", "+" + "I" * (L - 1)),
+        ("@r2 c", "ACGTACGTACGA", "+", "I" * L),
+    ]
+    text = "\n".join("\n".join(r) for r in recs)  # no trailing newline
+    path = tmp_path / "ok.fastq"
+    path.write_text(text)
+    opener = FASTQReader if parser == "python" else native.NativeFASTQReader
+    reader = opener(str(path))
+    got = []
+    while True:
+        c = reader.read_chunk(8)
+        if c is None:
+            break
+        got += [bytes(r).decode() for r in c.reads[: c.n_reads]]
+    assert got == [r[1] for r in recs]
