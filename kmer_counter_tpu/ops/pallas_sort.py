@@ -61,6 +61,19 @@ def _rows(n: int) -> int:
     return n // _LANES
 
 
+def _sds(shape, like):
+    """uint32 ShapeDtypeStruct for a pallas_call out_shape, inheriting the
+    varying-mesh-axes set of ``like``: JAX >= 0.9 requires an explicit
+    ``vma`` when the kernel is traced inside shard_map with check_vma
+    (every kernel here is per-device data, so outputs vary exactly like
+    the inputs).  Outside shard_map, vma is the empty set and the plain
+    struct is equivalent."""
+    vma = getattr(jax.typeof(like), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, jnp.uint32, vma=vma)
+    return jax.ShapeDtypeStruct(shape, jnp.uint32)
+
+
 def _flat_iota(shape):
     r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     l = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -196,8 +209,7 @@ def leaf_sort(operands, num_keys: int, tile: int = TILE, interpret: bool = False
         in_specs=[spec] * n_ops,
         out_specs=[spec] * n_ops,
         out_shape=[
-            jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.uint32)
-            for _ in range(n_ops)
+            _sds((n // _LANES, _LANES), operands[0]) for _ in range(n_ops)
         ],
         interpret=interpret,
     )(*[v.reshape(n // _LANES, _LANES) for v in operands])
@@ -383,8 +395,7 @@ def _merge_pass(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.uint32)
-            for _ in range(n_ops)
+            _sds((n // _LANES, _LANES), a_pad[0]) for _ in range(n_ops)
         ],
         interpret=interpret,
     )(
@@ -992,10 +1003,9 @@ def _merge_pair_fold_compact_bitonic_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((out_rows, _LANES), jnp.uint32)
-            for _ in range(n_ops)
+            _sds((out_rows, _LANES), a_pad[0]) for _ in range(n_ops)
         ]
-        + [jax.ShapeDtypeStruct((n_tiles * 8, _LANES), jnp.uint32)],
+        + [_sds((n_tiles * 8, _LANES), a_pad[0])],
         interpret=interpret,
     )(
         a_start,
@@ -1231,8 +1241,7 @@ def _merge_pair_fold_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.uint32)
-            for _ in range(n_ops)
+            _sds((n // _LANES, _LANES), a_pad[0]) for _ in range(n_ops)
         ],
         interpret=interpret,
     )(
@@ -1440,8 +1449,7 @@ def _merge_pair_fold_bitonic_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.uint32)
-            for _ in range(n_ops)
+            _sds((n // _LANES, _LANES), a_pad[0]) for _ in range(n_ops)
         ],
         interpret=interpret,
     )(
@@ -1758,8 +1766,7 @@ def compact_live(
         in_specs=[in_spec] * (n_ops + 1),
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_ops,
         out_shape=[
-            jax.ShapeDtypeStruct((out_rows, _LANES), jnp.uint32)
-            for _ in range(n_ops)
+            _sds((out_rows, _LANES), operands[0]) for _ in range(n_ops)
         ],
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)]
         + [pltpu.VMEM((buf_rows, _LANES), jnp.uint32)] * n_bufs
@@ -1931,8 +1938,7 @@ def _merge_pair_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.uint32)
-            for _ in range(n_ops)
+            _sds((n // _LANES, _LANES), a_pad[0]) for _ in range(n_ops)
         ],
         interpret=interpret,
     )(

@@ -26,7 +26,10 @@ from kmer_counter_tpu.ops.encode import encode_reads
 from kmer_counter_tpu.ops.extract import extract_kmer_lanes
 from kmer_counter_tpu.ops.sortcount import sort_reduce
 from kmer_counter_tpu.parallel.mesh import DATA_AXIS
-from kmer_counter_tpu.parallel.shuffle import route_merge_local
+from kmer_counter_tpu.parallel.shuffle import (
+    route_merge_local,
+    sampled_splitters_host,
+)
 
 
 def _global_max_int(x: int) -> int:
@@ -106,6 +109,13 @@ class ShardedCounter:
         self.offsets = zeros((self.D,), jnp.int32, P(DATA_AXIS))
         self.host_bound = 0  # worst-case per-device offset
 
+        # Frozen sampled range splitters ([D-1] uint32, replicated) — set
+        # at the first routing and reused for every later one, so spill
+        # epochs and the final merge always cut identical per-position
+        # ranges (see route_merge_local's contract).  None until then
+        # (and forever when D == 1).
+        self._splitters = None
+
         self._step = self._build_step()
         self._consolidate = self._build_consolidate()
         self._finalize = self._build_finalize()
@@ -134,6 +144,7 @@ class ShardedCounter:
         fn = shard_map(
             local_step,
             mesh=mesh,
+            check_vma=False,
             in_specs=(
                 P(None, DATA_AXIS),
                 P(DATA_AXIS),
@@ -153,6 +164,7 @@ class ShardedCounter:
         fn = shard_map(
             local_consolidate,
             mesh=self.mesh,
+            check_vma=False,
             in_specs=(P(None, DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
             out_specs=(P(None, DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
         )
@@ -161,12 +173,12 @@ class ShardedCounter:
     def _build_finalize(self):
         D, cap = self.D, self.bucket_cap
 
-        def local_finalize(lanes, counts, offset):
+        def local_finalize(lanes, counts, offset, splitters):
             del offset
             # Local collapse first: shrinks the routed volume.
             l, c, _ = sort_reduce(lanes, counts)
             out_lanes, out_counts, num_unique, overflow = route_merge_local(
-                l, c, DATA_AXIS, D, cap
+                l, c, DATA_AXIS, D, cap, splitters=splitters
             )
             return (
                 out_lanes,
@@ -178,7 +190,8 @@ class ShardedCounter:
         fn = shard_map(
             local_finalize,
             mesh=self.mesh,
-            in_specs=(P(None, DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            check_vma=False,
+            in_specs=(P(None, DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
             out_specs=(
                 P(None, DATA_AXIS),
                 P(DATA_AXIS),
@@ -187,6 +200,21 @@ class ShardedCounter:
             ),
         )
         return jax.jit(fn)
+
+    def _ensure_splitters(self):
+        """Compute-and-freeze the sampled splitters on first use (requires
+        a consolidated table; every process runs this in lockstep — the
+        sample pooling is a deterministic host all-gather)."""
+        if self.D > 1 and self._splitters is None:
+            self.consolidate()
+            self._splitters = sampled_splitters_host(
+                self.mesh,
+                self.lanes,
+                self.counts,
+                self.table_slots,
+                self.D,
+            )
+        return self._splitters
 
     # ---- host-facing API -------------------------------------------------
 
@@ -305,9 +333,12 @@ class ShardedCounter:
         capacity on detected overflow (the state is not donated, so a
         retry sees it intact).  Every process observes the same global-max
         overflow flag, so mesh-wide rebuild/retry stays in lockstep."""
+        splitters = self._ensure_splitters()
+        if splitters is None:  # D == 1: uniform trivial partition
+            splitters = jnp.zeros((0,), jnp.uint32)
         while True:
             lanes, counts, nuniq, overflow = self._finalize(
-                self.lanes, self.counts, self.offsets
+                self.lanes, self.counts, self.offsets, splitters
             )
             local_over = max(
                 (
@@ -387,6 +418,7 @@ class ShardedCounter:
         fn = shard_map(
             local_zero,
             mesh=self.mesh,
+            check_vma=False,
             in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
             out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
         )
@@ -489,6 +521,11 @@ class ShardedCounter2:
         self.raw_off = zeros((D,), jnp.int32, P(DATA_AXIS))
         self.allt = zeros((D,), jnp.uint32, P(DATA_AXIS))
 
+        # Frozen sampled range splitters — same contract as ShardedCounter
+        # (set at first routing, reused so spill epochs and the final
+        # merge cut identical ranges).
+        self._splitters = None
+
         self._step = self._build_step()
         self._consolidate = self._build_consolidate()
         self._route = self._build_route()
@@ -514,6 +551,7 @@ class ShardedCounter2:
         fn = shard_map(
             local_step,
             mesh=self.mesh,
+            check_vma=False,
             in_specs=(
                 P(None, DATA_AXIS),
                 P(DATA_AXIS),
@@ -544,6 +582,7 @@ class ShardedCounter2:
         fn = shard_map(
             local_consolidate,
             mesh=self.mesh,
+            check_vma=False,
             in_specs=(
                 P(None, DATA_AXIS),
                 P(DATA_AXIS),
@@ -564,9 +603,9 @@ class ShardedCounter2:
     def _build_route(self):
         D, cap = self.D, self.bucket_cap
 
-        def local_route(lanes, counts):
+        def local_route(lanes, counts, splitters):
             out_lanes, out_counts, num_unique, overflow = route_merge_local(
-                lanes, counts, DATA_AXIS, D, cap
+                lanes, counts, DATA_AXIS, D, cap, splitters=splitters
             )
             return (
                 out_lanes,
@@ -578,7 +617,8 @@ class ShardedCounter2:
         fn = shard_map(
             local_route,
             mesh=self.mesh,
-            in_specs=(P(None, DATA_AXIS), P(DATA_AXIS)),
+            check_vma=False,
+            in_specs=(P(None, DATA_AXIS), P(DATA_AXIS), P()),
             out_specs=(
                 P(None, DATA_AXIS),
                 P(DATA_AXIS),
@@ -587,6 +627,22 @@ class ShardedCounter2:
             ),
         )
         return jax.jit(fn)
+
+    def _ensure_splitters(self):
+        """Compute-and-freeze the sampled splitters on first use (requires
+        a consolidated prefix; lockstep across processes — the sample
+        pooling is a deterministic host all-gather)."""
+        if self.D > 1 and self._splitters is None:
+            if self.raw_bound > 0:
+                self.consolidate()
+            self._splitters = sampled_splitters_host(
+                self.mesh,
+                self.prefix_lanes,
+                self.prefix_counts,
+                self.CP,
+                self.D,
+            )
+        return self._splitters
 
     def _grow_prefix(self, new_cp: int):
         """Device-side prefix growth (works on any mesh, multi-process
@@ -604,6 +660,7 @@ class ShardedCounter2:
         fn = shard_map(
             local_grow,
             mesh=self.mesh,
+            check_vma=False,
             in_specs=(P(None, DATA_AXIS), P(DATA_AXIS)),
             out_specs=(P(None, DATA_AXIS), P(DATA_AXIS)),
         )
@@ -691,9 +748,12 @@ class ShardedCounter2:
     def _route_with_retry(self):
         if self.raw_bound > 0:
             self.consolidate()
+        splitters = self._ensure_splitters()
+        if splitters is None:  # D == 1: uniform trivial partition
+            splitters = jnp.zeros((0,), jnp.uint32)
         while True:
             lanes, counts, nuniq, overflow = self._route(
-                self.prefix_lanes, self.prefix_counts
+                self.prefix_lanes, self.prefix_counts, splitters
             )
             local_over = max(
                 (
@@ -788,6 +848,7 @@ class ShardedCounter2:
         fn = shard_map(
             local_zero,
             mesh=self.mesh,
+            check_vma=False,
             in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
             out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
         )

@@ -9,11 +9,23 @@ through the filesystem and merges them on host threads, every record here
 makes exactly one ICI/DCN hop to the device that owns its key range, and
 each owner collapses its range with one sort-reduce in HBM.
 
-Routing function: ``owner(key) = (lane0>>16) * D >> 16`` — a monotonic
-range partition by the key's leading 16 bits.  Monotonicity means device
-d's range table is entirely smaller than device d+1's, so the global dump
-is the per-device tables concatenated in mesh order, already sorted — the
-property the reference's merge tree worked so hard for on disk.
+Routing function (two modes, both monotonic range partitions of the
+uint32 lead lane, so device d's range table is entirely smaller than
+device d+1's and the global dump is the per-device tables concatenated in
+mesh order, already sorted — the property the reference's merge tree
+worked so hard for on disk):
+
+  * uniform: ``owner(key) = (lane0>>16) * D >> 16`` — splits the key
+    space evenly.  Simple, but canonical keys are min(fwd, revcomp) and
+    hence systematically biased toward the low half of the space, leaving
+    high-rank devices under-loaded (VERDICT r4 item 4).
+  * sampled splitters (default): each device contributes S evenly-spaced
+    lead-lane samples from its sorted live prefix; one tiny all_gather
+    pools them, and the D-1 quantiles of the pooled sample become the
+    range boundaries — classic sample-sort regular sampling, adapted to
+    whatever key distribution the input actually has.  Every device
+    computes identical splitters (the gather is deterministic), so the
+    partition stays consistent mesh-wide.
 
 All functions here run *inside* ``shard_map`` over the 1-D ``data`` mesh.
 """
@@ -25,10 +37,85 @@ import jax.numpy as jnp
 
 from kmer_counter_tpu.ops.sortcount import sort_reduce
 
+SPLITTER_SAMPLES = 64  # per-device sample count for regular sampling
+
 
 def owner_of(lane0: jnp.ndarray, num_devices: int) -> jnp.ndarray:
     """Monotonic range-partition of the uint32 lead lane into D owners."""
     return ((lane0 >> jnp.uint32(16)).astype(jnp.int32) * num_devices) >> 16
+
+
+def sampled_splitters_host(
+    mesh,
+    lanes,
+    counts,
+    block: int,
+    num_devices: int,
+    samples: int = SPLITTER_SAMPLES,
+):
+    """[D-1] uint32 range boundaries from pooled per-device samples,
+    computed host-side (tiny, once per run — the counters freeze the
+    result; see route_merge_local's contract).
+
+    Requires the table contract shared by sort_reduce and consolidate3:
+    live rows (count > 0) are dense at the front and sorted ascending.
+    Each device contributes ``samples`` evenly-spaced lead-lane values
+    from its live prefix (max-value fill when empty, parking at the top
+    of the pooled sort); the pooled quantiles are the boundaries —
+    sample-sort regular sampling.  On a multi-process mesh every process
+    sees only its addressable shards, so the local sample blocks are
+    exchanged with one deterministic process all-gather; every process
+    computes identical splitters.
+
+    Returns a replicated device array ([D-1] uint32, NamedSharding P()).
+    """
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    S = samples
+    counts_by_pos = {
+        (s.index[0].start or 0) // block: np.asarray(s.data)
+        for s in counts.addressable_shards
+    }
+    lane0_by_pos = {
+        (s.index[1].start or 0) // block: np.asarray(s.data)[0]
+        for s in lanes.addressable_shards
+    }
+    i = np.arange(S, dtype=np.int64)
+    local = np.empty((len(counts_by_pos), S), np.uint32)
+    for row, pos in enumerate(sorted(counts_by_pos)):
+        c = counts_by_pos[pos]
+        U = int((c > 0).sum())
+        if U == 0:
+            local[row] = np.uint32(0xFFFFFFFF)
+        else:
+            idx = ((2 * i + 1) * U) // (2 * S)
+            local[row] = lane0_by_pos[pos][np.minimum(idx, U - 1)]
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        pooled = np.asarray(
+            multihost_utils.process_allgather(local)
+        ).reshape(-1)
+    else:
+        pooled = local.reshape(-1)
+    assert pooled.size == num_devices * S, (pooled.size, num_devices, S)
+    pooled = np.sort(pooled)
+    splitters = pooled[np.arange(1, num_devices) * S]
+    return jax.device_put(
+        jnp.asarray(splitters), NamedSharding(mesh, PartitionSpec())
+    )
+
+
+def owner_of_splitters(
+    lane0: jnp.ndarray, splitters: jnp.ndarray
+) -> jnp.ndarray:
+    """Monotonic owner assignment against sampled range boundaries:
+    owner(key) = #{d : key >= splitters[d]} — a sum of step functions,
+    hence monotonic in the key, preserving the sorted-concat property."""
+    return jnp.sum(
+        (lane0[:, None] >= splitters[None, :]).astype(jnp.int32), axis=1
+    )
 
 
 def route_merge_local(
@@ -37,17 +124,27 @@ def route_merge_local(
     axis_name: str,
     num_devices: int,
     bucket_capacity: int,
+    splitters: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Exchange records so each device holds exactly its key range, merged.
 
     Args (per-device views inside shard_map; record arrays lane-major):
       lanes: [NL, C] uint32 local partial table; slots with count 0 ignored.
+        Live rows must be dense at the front and sorted ascending (the
+        sort_reduce / consolidate3 contract) — the splitter sampler
+        depends on it.
       counts: [C] uint32.
       axis_name: mesh axis to exchange over.
       num_devices: size of that axis (static).
       bucket_capacity: per-destination slot budget (static).  Worst case is
         C (everything owned by one device); callers trade memory for skew
         tolerance — overflow is *detected*, never silent.
+      splitters: optional [D-1] uint32 range boundaries (replicated; from
+        sample_splitters) — skew-adaptive routing.  None = the uniform
+        lead-lane split.  Callers that route more than once (spill epochs
+        + final merge) MUST pass the SAME splitters every time: the
+        per-position ranges written across epochs are only disjoint and
+        concatenation-sorted if the partition never moves.
 
     Returns:
       (range_lanes [NL, D*cap], range_counts [D*cap], num_unique, overflow)
@@ -59,7 +156,11 @@ def route_merge_local(
     cap = bucket_capacity
 
     valid = counts > 0
-    owner = jnp.where(valid, owner_of(lanes[0], D), D)  # D = dropped
+    if splitters is not None and D > 1:
+        base_owner = owner_of_splitters(lanes[0], splitters)
+    else:
+        base_owner = owner_of(lanes[0], D)
+    owner = jnp.where(valid, base_owner, D)  # D = dropped
 
     # Group records by destination. Rather than scattering into [D, cap]
     # buckets (TPU scatter is slow), sort by a composite placement key

@@ -185,3 +185,76 @@ def test_finalize_local_matches_finalize(mesh8, make_reads):
     counts2 = np.concatenate([p[2] for p in parts])
     np.testing.assert_array_equal(lanes, lanes2)
     np.testing.assert_array_equal(counts, counts2)
+
+
+def test_sampled_splitters_balance_skewed_keys(mesh8, make_reads):
+    """VERDICT r4 item 4: canonical keys are min(fwd, revcomp), hence
+    systematically biased toward the low half of the key space — the
+    uniform lead-lane split leaves high-rank devices near-empty.  The
+    sampled-splitter routing must keep max/mean device load <= 1.5x with
+    no overflow retries on exactly this regime."""
+    import jax.numpy as jnp
+
+    from kmer_counter_tpu.parallel.shuffle import owner_of
+
+    k, L = 31, 60
+    counter = ShardedCounter(
+        mesh8, k, True, table_slots=8192, reads_per_device=16, line_length=L
+    )
+    for _ in range(4):
+        counter.step(make_reads(8 * 16, L))
+    cap_before = counter.bucket_cap
+    lanes, counts, nuniq, overflow = counter._route_with_retry()
+    assert counter.bucket_cap == cap_before, "overflow retry should not fire"
+    loads = np.array(
+        [int(np.asarray(s.data)[0]) for s in nuniq.addressable_shards]
+    )
+    assert loads.sum() > 0
+    mean = loads.sum() / len(loads)
+    assert loads.max() <= 1.5 * mean, f"skewed loads: {loads.tolist()}"
+
+    # The uniform split on the same keys is demonstrably skewed (this is
+    # the regime the sampled splitters exist for): canonical lead lanes
+    # live in the low half, so the top half of the devices sit empty.
+    flat_counts = np.asarray(jax.device_get(counter.counts))
+    flat_lane0 = np.asarray(jax.device_get(counter.lanes))[0]
+    live = flat_counts > 0
+    uniform_owner = np.asarray(owner_of(jnp.asarray(flat_lane0[live]), 8))
+    uniform_loads = np.bincount(uniform_owner, minlength=8)
+    assert uniform_loads.max() > 1.5 * uniform_loads.mean()
+
+
+def test_pallas_kernel_inside_shard_map(mesh8):
+    """Regression (JAX 0.9 check_vma): Pallas kernels must trace inside
+    shard_map — the real-TPU mesh path runs consolidate3's kernels there.
+    The pipeline shard_maps pass check_vma=False (JAX's documented
+    workaround: vma does not propagate through Pallas internals) and the
+    pallas out_shapes inherit the caller's vma (pallas_sort._sds)."""
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from kmer_counter_tpu.ops import pallas_sort
+
+    n = 8 * 256
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    cnts = np.ones(n, np.uint32)
+
+    def body(k, c):
+        out = pallas_sort.leaf_sort([k, c], num_keys=1, tile=256, interpret=True)
+        return out[0], out[1]
+
+    fn = jax.jit(
+        shard_map(
+            body,
+            mesh=mesh8,
+            check_vma=False,
+            in_specs=(P("data"), P("data")),
+            out_specs=(P("data"), P("data")),
+        )
+    )
+    ok, _ = fn(jnp.asarray(keys), jnp.asarray(cnts))
+    ok = np.asarray(ok).reshape(8, 256)
+    for r in ok:
+        assert (np.diff(r.astype(np.int64)) >= 0).all()
