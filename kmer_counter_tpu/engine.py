@@ -78,26 +78,6 @@ def _make_source(opts: Options, shard=None):
     return DirectoryInput(opts.input_dir, shard=shard)
 
 
-def _warn_checkpoint_spill(opts: Options) -> None:
-    """One warning per run when disk spill engages on the MESH engine while
-    checkpointing is configured: the mesh engine does not checkpoint, so a
-    user who asked for snapshots should hear that spilled multi-device
-    state will not be resumable.  (The single-process CountEngine snapshots
-    THROUGH spill via checkpoint.spill_runs — no warning needed there.)"""
-    import sys
-
-    if opts.checkpoint_every and opts.checkpoint_dir and not getattr(
-        opts, "_ckpt_spill_warned", False
-    ):
-        opts._ckpt_spill_warned = True
-        print(
-            "[engine] warning: disk spill engaged — checkpointing is "
-            "suspended from here on (spilled runs are not snapshotted; "
-            "a resume replays from the last pre-spill checkpoint)",
-            file=sys.stderr,
-        )
-
-
 def _file_key(path: str) -> str:
     """Checkpoint-manifest key for a source file (stable across absolute/
     relative invocation differences)."""
@@ -898,7 +878,6 @@ class MeshCountEngine:
         from kmer_counter_tpu.io import spill as spill_io
 
         opts = self.opts
-        _warn_checkpoint_spill(opts)
         if jax.process_count() > 1:
             if self._pos_runs is None:
                 self._pos_runs = {}
@@ -935,6 +914,105 @@ class MeshCountEngine:
             if opts.verbose:
                 print(f"[engine] spilled {len(counts)} records -> {path}")
         counter.reset()
+
+    def _save_checkpoint(self, counter, stats) -> None:
+        """Snapshot the mesh run (checkpoint.mesh_save): this process's
+        consolidated position tables + reads absorbed + per-file manifest
+        + frozen splitters + outstanding spill runs.  Called at a
+        consolidation boundary, in lockstep (host-mirrored trigger)."""
+        from kmer_counter_tpu import checkpoint as ckpt
+
+        items = counter.export_positions()  # consolidates if needed
+        splitters = None
+        if getattr(counter, "_splitters", None) is not None:
+            splitters = np.asarray(jax.device_get(counter._splitters))
+        ckpt.mesh_save(
+            self.opts.checkpoint_dir,
+            self.opts,
+            stats.consolidations,
+            items,
+            stats.reads,
+            stats.per_file,
+            mesh_size=self.mesh.devices.size,
+            splitters=splitters,
+            pos_runs=self._pos_runs,
+            scheduler_runs=(
+                self._scheduler.snapshot_runs()
+                if self._scheduler is not None
+                else None
+            ),
+        )
+
+    def _load_checkpoint(self, counter, stats):
+        """Resume from the newest complete mesh checkpoint, agreed in
+        lockstep across processes (all resume the same epoch or none).
+        Returns the MeshSnapshot or None."""
+        import os
+        import sys
+
+        opts = self.opts
+        if not opts.checkpoint_dir:
+            return None
+        from kmer_counter_tpu import checkpoint as ckpt
+
+        my_positions = [
+            pos
+            for pos, d in enumerate(self.mesh.devices.flat)
+            if d.process_index == jax.process_index()
+        ]
+        resumed = ckpt.mesh_load(
+            opts.checkpoint_dir, opts, self.mesh.devices.size, my_positions
+        )
+        epoch = resumed.epoch if resumed is not None else -1
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            all_epochs = multihost_utils.process_allgather(
+                np.array([epoch], np.int64)
+            )
+            if int(np.min(all_epochs)) != int(np.max(all_epochs)):
+                # Shouldn't happen on a shared checkpoint dir; recount
+                # rather than resume inconsistently.
+                print(
+                    "[checkpoint] processes disagree on the resume epoch — "
+                    "recounting from scratch",
+                    file=sys.stderr,
+                )
+                return None
+            if epoch < 0:
+                return None
+        elif resumed is None:
+            return None
+        counter.import_positions(resumed.items, resumed.splitters)
+        stats.reads = resumed.reads_absorbed
+        stats.per_file = dict(resumed.files or {})
+        stats.consolidations = resumed.epoch
+        if resumed.pos_runs:
+            import re
+
+            self._pos_runs = {
+                int(p): list(v) for p, v in resumed.pos_runs.items()
+            }
+            # Restart run-file sequence numbers past every existing file so
+            # re-registered runs (and crashed-run orphans) are never
+            # overwritten.
+            seqs = [0]
+            if opts.temp_dir and os.path.isdir(opts.temp_dir):
+                for name in os.listdir(opts.temp_dir):
+                    m = re.search(r"_(\d+)\.run$", name)
+                    if m:
+                        seqs.append(int(m.group(1)))
+            stats.spilled_runs = max(seqs)
+        if resumed.scheduler_runs:
+            CountEngine._resume_spill(self, resumed.scheduler_runs, stats)
+        if opts.verbose:
+            total = sum(len(c) for _, _, c, _ in resumed.items)
+            print(
+                f"[engine] resumed mesh checkpoint epoch {resumed.epoch}: "
+                f"{total} records (this process), "
+                f"{resumed.reads_absorbed} reads absorbed"
+            )
+        return resumed
 
     def run(self) -> RunStats:
         from kmer_counter_tpu.metrics import Metrics
@@ -1018,6 +1096,16 @@ class MeshCountEngine:
             )
         max_dev_slots = self._max_slots_per_device(NL, D)
 
+        # Checkpoint resume (mesh form): load the newest COMPLETE epoch —
+        # every process restores its own positions' tables + ingest skip,
+        # and the decision is agreed in lockstep (_load_checkpoint).
+        skip_reads = 0
+        expected_files = None
+        resumed = self._load_checkpoint(counter, stats)
+        if resumed is not None:
+            skip_reads = resumed.reads_absorbed
+            expected_files = resumed.files or None
+
         # Each process supplies rows for its own devices only; the step
         # assembles the global array from per-process blocks.
         local_devices = sum(
@@ -1029,25 +1117,33 @@ class MeshCountEngine:
         chunk_q: "queue.Queue" = queue.Queue(maxsize=max(opts.prefetch_chunks, 1))
         ingest = threading.Thread(
             target=CountEngine._ingest_worker,
-            args=(self, source, want_rows, chunk_q, stats),
+            args=(self, source, want_rows, chunk_q, stats, skip_reads, expected_files),
             daemon=True,
         )
         ingest.start()
 
         def next_local_chunk():
-            """Next [want_rows, line_length] matrix, or None when drained."""
+            """(reads [want_rows, L], source item) or (None, None) when
+            drained.  The item's read accounting happens AFTER the device
+            step (account_chunk): a checkpoint taken at a consolidation
+            boundary must count exactly the dispatched chunks, or resume
+            would skip a chunk whose counts never entered the table."""
             while True:
                 item = chunk_q.get()
                 if item is _SENTINEL:
-                    return None
+                    return None, None
                 if isinstance(item, Exception):
                     raise item
-                stats.reads += item.n_reads
-                stats.bases += item.n_reads * item.line_length
-                name = _file_key(item.path)
-                stats.per_file[name] = stats.per_file.get(name, 0) + item.n_reads
                 if item.line_length < k:
-                    continue  # no k-mers can come from these reads
+                    # No k-mers can come from these reads: absorbed
+                    # without a device step — safe to count immediately.
+                    name = _file_key(item.path)
+                    stats.reads += item.n_reads
+                    stats.bases += item.n_reads * item.line_length
+                    stats.per_file[name] = (
+                        stats.per_file.get(name, 0) + item.n_reads
+                    )
+                    continue
                 reads = item.reads
                 if reads.shape[1] < line_length:
                     reads = np.pad(
@@ -1057,19 +1153,36 @@ class MeshCountEngine:
                     reads = np.pad(
                         reads, ((0, want_rows - reads.shape[0]), (0, 0))
                     )
-                return reads
+                return reads, item
 
-        def maybe_spill():
-            # Pressure valve before a consolidation that would outgrow the
-            # per-device HBM budget (BASELINE.json config 4 at mesh scale).
-            # The trigger is host-mirrored state, so on a multi-process mesh
-            # every process reaches the same decision in lockstep.
-            if (
-                opts.temp_dir
-                and counter.pending_consolidation()
-                and counter.occupied_bound() > max_dev_slots
-            ):
+        def account_chunk(item):
+            name = _file_key(item.path)
+            stats.reads += item.n_reads
+            stats.bases += item.n_reads * item.line_length
+            stats.per_file[name] = stats.per_file.get(name, 0) + item.n_reads
+            stats.chunks += 1
+
+        def maybe_consolidate():
+            # Explicit consolidation boundary (the counter would otherwise
+            # consolidate inside step()): lets the engine spill under HBM
+            # pressure and snapshot at exactly the consolidated points.
+            # Every trigger is host-mirrored state, so on a multi-process
+            # mesh all processes reach the same decision in lockstep.
+            if not counter.pending_consolidation():
+                return
+            if opts.temp_dir and counter.occupied_bound() > max_dev_slots:
+                # Pressure valve (BASELINE.json config 4 at mesh scale).
                 self._spill_counter(counter, stats)
+            else:
+                counter.consolidate()
+            stats.consolidations += 1
+            if (
+                opts.checkpoint_every
+                and opts.checkpoint_dir
+                and stats.consolidations % opts.checkpoint_every == 0
+            ):
+                with metrics.timer("checkpoint"):
+                    self._save_checkpoint(counter, stats)
 
         with _start_monitor(
             opts,
@@ -1082,7 +1195,11 @@ class MeshCountEngine:
                 empty = np.zeros((want_rows, line_length), np.uint8)
                 drained = False
                 while True:
-                    reads = None if drained else next_local_chunk()
+                    item = None
+                    if drained:
+                        reads = None
+                    else:
+                        reads, item = next_local_chunk()
                     drained = reads is None
                     # Lockstep: continue while any process still has data.
                     anyone = multihost_utils.process_allgather(
@@ -1090,20 +1207,20 @@ class MeshCountEngine:
                     )
                     if not bool(np.any(anyone)):
                         break
-                    maybe_spill()
+                    maybe_consolidate()
                     with metrics.timer("dispatch"):
                         counter.step(reads if reads is not None else empty)
-                    if reads is not None:
-                        stats.chunks += 1
+                    if item is not None:
+                        account_chunk(item)
             else:
                 while True:
-                    reads = next_local_chunk()
+                    reads, item = next_local_chunk()
                     if reads is None:
                         break
-                    maybe_spill()
+                    maybe_consolidate()
                     with metrics.timer("dispatch"):
                         counter.step(reads)
-                    stats.chunks += 1
+                    account_chunk(item)
         ingest.join()
 
         # The all-T side count (two-level tables, k % 16 == 0, forward):

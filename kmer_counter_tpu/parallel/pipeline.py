@@ -55,6 +55,26 @@ def _global_sum_int(x: int) -> int:
     return x
 
 
+def _place_by_position(mesh, spec, global_shape, dtype, block_for):
+    """Assemble a sharded global array from per-position host blocks.
+
+    ``block_for(pos)`` returns the numpy block for mesh position ``pos``;
+    it is called only for this process's addressable devices, so every
+    process contributes exactly its shards (the checkpoint-restore path —
+    the inverse of reading ``addressable_shards``)."""
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, spec)
+    arrays = []
+    for pos, d in enumerate(mesh.devices.flat):
+        if d.process_index != jax.process_index():
+            continue
+        arrays.append(jax.device_put(np.ascontiguousarray(block_for(pos)), d))
+    return jax.make_array_from_single_device_arrays(
+        tuple(global_shape), sharding, arrays
+    )
+
+
 class ShardedCounter:
     """Device-sharded count table with a chunked update step.
 
@@ -408,6 +428,86 @@ class ShardedCounter:
             keep = c > 0
             out.append((lanes_by_pos[pos][:, keep].T, c[keep]))
         return out
+
+    def export_positions(self) -> list[tuple[int, np.ndarray, np.ndarray, int]]:
+        """Checkpoint export: consolidated per-position state as
+        (mesh_position, keys [U, NL] row-major, counts [U], allt=0) for
+        this process's addressable positions.  Collective-free beyond the
+        consolidation — each process snapshots exactly its shards."""
+        self.consolidate()
+        out = []
+        block = self.table_slots
+        counts_by_pos = {
+            (s.index[0].start or 0) // block: np.asarray(s.data)
+            for s in self.counts.addressable_shards
+        }
+        lanes_by_pos = {
+            (s.index[1].start or 0) // block: np.asarray(s.data)
+            for s in self.lanes.addressable_shards
+        }
+        for pos in sorted(counts_by_pos):
+            c = counts_by_pos[pos]
+            keep = c > 0
+            out.append((pos, lanes_by_pos[pos][:, keep].T, c[keep], 0))
+        return out
+
+    def import_positions(self, items, splitters=None):
+        """Checkpoint restore: the inverse of export_positions.  Every
+        process calls this in lockstep with its own positions' data; the
+        capacity decision (growth for the restored cardinality) is agreed
+        via a host all-gather so the mesh stays consistent."""
+        by_pos = {pos: (l, c) for pos, l, c, _ in items}
+        max_u = _global_max_int(
+            max((len(c) for _, c in by_pos.values()), default=0)
+        )
+        new_slots = self.table_slots
+        while max_u + self.chunk_slots > new_slots:
+            new_slots *= 2
+        if new_slots != self.table_slots:
+            self.table_slots = new_slots
+            self.bucket_cap = int(
+                min(new_slots, new_slots * self._merge_slack / self.D)
+            )
+            self._step = self._build_step()
+            self._consolidate = self._build_consolidate()
+            self._finalize = self._build_finalize()
+        NL, slots = self.NL, self.table_slots
+
+        def lanes_block(pos):
+            b = np.zeros((NL, slots), np.uint32)
+            if pos in by_pos:
+                l, _ = by_pos[pos]
+                b[:, : l.shape[0]] = l.T
+            return b
+
+        def counts_block(pos):
+            b = np.zeros((slots,), np.uint32)
+            if pos in by_pos:
+                _, c = by_pos[pos]
+                b[: len(c)] = c
+            return b
+
+        def offset_block(pos):
+            u = len(by_pos[pos][1]) if pos in by_pos else 0
+            return np.asarray([u], np.int32)
+
+        self.lanes = _place_by_position(
+            self.mesh, self._lanes_spec, (NL, self.D * slots), np.uint32,
+            lanes_block,
+        )
+        self.counts = _place_by_position(
+            self.mesh, P(DATA_AXIS), (self.D * slots,), np.uint32,
+            counts_block,
+        )
+        self.offsets = _place_by_position(
+            self.mesh, P(DATA_AXIS), (self.D,), np.int32, offset_block
+        )
+        self.host_bound = max_u
+        if splitters is not None:
+            self._splitters = jax.device_put(
+                jnp.asarray(np.asarray(splitters, np.uint32)),
+                NamedSharding(self.mesh, P()),
+            )
 
     def reset(self):
         """Empty the table (post-spill restart), keeping buffers."""
@@ -835,6 +935,86 @@ class ShardedCounter2:
             keep = c > 0
             out.append((lanes_by_pos[pos][:, keep].T, c[keep]))
         return out
+
+    def export_positions(self) -> list[tuple[int, np.ndarray, np.ndarray, int]]:
+        """Checkpoint export: consolidated per-position state as
+        (mesh_position, keys [U, NL] row-major, counts [U], allt) for
+        this process's addressable positions (see ShardedCounter)."""
+        if self.raw_bound > 0:
+            self.consolidate()
+        out = []
+        counts_by_pos = {
+            (s.index[0].start or 0) // self.CP: np.asarray(s.data)
+            for s in self.prefix_counts.addressable_shards
+        }
+        lanes_by_pos = {
+            (s.index[1].start or 0) // self.CP: np.asarray(s.data)
+            for s in self.prefix_lanes.addressable_shards
+        }
+        allt_by_pos = {
+            (s.index[0].start or 0): int(np.asarray(s.data)[0])
+            for s in self.allt.addressable_shards
+        }
+        for pos in sorted(counts_by_pos):
+            c = counts_by_pos[pos]
+            keep = c > 0
+            out.append(
+                (pos, lanes_by_pos[pos][:, keep].T, c[keep], allt_by_pos[pos])
+            )
+        return out
+
+    def import_positions(self, items, splitters=None):
+        """Checkpoint restore (inverse of export_positions, lockstep —
+        see ShardedCounter.import_positions)."""
+        by_pos = {pos: (l, c, a) for pos, l, c, a in items}
+        max_u = _global_max_int(
+            max((len(c) for _, c, _ in by_pos.values()), default=0)
+        )
+        if max_u > self.CP:
+            new_cp = -(-max_u // self._grain) * self._grain
+            self.CP = new_cp
+            self.bucket_cap = int(
+                min(self.CP, max(self.CP * self._merge_slack / self.D, 1))
+            )
+            self._consolidate = self._build_consolidate()
+            self._route = self._build_route()
+        NL, CP = self.NL, self.CP
+
+        def lanes_block(pos):
+            b = np.zeros((NL, CP), np.uint32)
+            if pos in by_pos:
+                l = by_pos[pos][0]
+                b[:, : l.shape[0]] = l.T
+            return b
+
+        def counts_block(pos):
+            b = np.zeros((CP,), np.uint32)
+            if pos in by_pos:
+                c = by_pos[pos][1]
+                b[: len(c)] = c
+            return b
+
+        def allt_block(pos):
+            a = by_pos[pos][2] if pos in by_pos else 0
+            return np.asarray([a], np.uint32)
+
+        self.prefix_lanes = _place_by_position(
+            self.mesh, P(None, DATA_AXIS), (NL, self.D * CP), np.uint32,
+            lanes_block,
+        )
+        self.prefix_counts = _place_by_position(
+            self.mesh, P(DATA_AXIS), (self.D * CP,), np.uint32, counts_block
+        )
+        self.allt = _place_by_position(
+            self.mesh, P(DATA_AXIS), (self.D,), np.uint32, allt_block
+        )
+        self.live_bound = max_u
+        self.raw_bound = 0
+        if splitters is not None:
+            self._splitters = jax.device_put(
+                jnp.asarray(np.asarray(splitters, np.uint32)),
+                NamedSharding(self.mesh, P()),
+            )
 
     def reset(self):
         """Empty the table (post-spill restart), keeping buffers and the

@@ -24,6 +24,8 @@ def main():
     )
     table_slots = int(sys.argv[8]) if len(sys.argv) > 8 else 0
     temp_dir = sys.argv[9] if len(sys.argv) > 9 else None
+    ckpt_dir = sys.argv[10] if len(sys.argv) > 10 else None
+    ckpt_every = int(sys.argv[11]) if len(sys.argv) > 11 else 0
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -46,6 +48,29 @@ def main():
     from kmer_counter_tpu.config import Options
     from kmer_counter_tpu.engine import MeshCountEngine
 
+    crash_after = int(os.environ.get("KMER_TEST_CRASH_AFTER_CHUNKS", "0"))
+    if crash_after:
+        # Simulated crash for the kill/resume test: every process dies
+        # after the same number of counter steps (deterministic, so the
+        # collectives stay lockstep right up to the crash).
+        from kmer_counter_tpu.parallel import pipeline as pl
+
+        def wrap(cls):
+            orig = cls.step
+            state = {"n": 0}
+
+            def step(self, reads):
+                if state["n"] >= crash_after:
+                    print(f"proc {pid} simulated crash", flush=True)
+                    os._exit(17)
+                state["n"] += 1
+                return orig(self, reads)
+
+            cls.step = step
+
+        wrap(pl.ShardedCounter)
+        wrap(pl.ShardedCounter2)
+
     opts = Options(
         kmer_length=k,
         canonical=True,
@@ -55,12 +80,15 @@ def main():
         reads_per_chunk=32,
         table_slots=table_slots or None,
         temp_dir=temp_dir,
-        verbose=0,
+        checkpoint_dir=ckpt_dir,
+        checkpoint_every=ckpt_every,
+        verbose=1 if ckpt_dir else 0,
     )
     stats = MeshCountEngine(opts).run()
     print(
         f"proc {pid} ok reads={stats.reads} "
-        f"distinct={stats.distinct_kmers} spilled={stats.spilled_runs}",
+        f"distinct={stats.distinct_kmers} spilled={stats.spilled_runs} "
+        f"consolidations={stats.consolidations}",
         flush=True,
     )
 

@@ -143,3 +143,130 @@ def test_mesh_engine_spill_to_disk(tmp_path, rng):
         assert stats.spilled_runs > 0, f"spill path not exercised ({impl})"
         np.testing.assert_array_equal(words, want_words)
         np.testing.assert_array_equal(counts, want_counts)
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _spy_resumed(monkeypatch):
+    """Record whether (and at which epoch) mesh_load actually resumed —
+    a scratch recount also byte-matches golden, so the tests must observe
+    the resume itself."""
+    from kmer_counter_tpu import checkpoint as ckpt
+
+    seen = {"epoch": -1}
+    orig = ckpt.mesh_load
+
+    def spy(*a, **kw):
+        snap = orig(*a, **kw)
+        if snap is not None:
+            seen["epoch"] = snap.epoch
+        return snap
+
+    with monkeypatch.context() as mp:
+        mp.setattr(ckpt, "mesh_load", spy)
+        yield seen
+
+
+def _crash_engine_after(monkeypatch, n_steps: int):
+    """Make the counter's step raise after n_steps (simulated crash)."""
+    from kmer_counter_tpu.parallel import pipeline as pl
+
+    for cls in (pl.ShardedCounter, pl.ShardedCounter2):
+        orig = cls.step
+        state = {"n": 0}
+
+        def step(self, reads, _orig=orig, _state=state):
+            if _state["n"] >= n_steps:
+                raise RuntimeError("simulated crash")
+            _state["n"] += 1
+            return _orig(self, reads)
+
+        monkeypatch.setattr(cls, "step", step)
+
+
+def test_mesh_engine_checkpoint_resume(tmp_path, rng, monkeypatch):
+    """Single-process mesh checkpoint/resume (VERDICT r4 item 3): crash
+    mid-run after checkpoints were taken, rerun, byte-match golden."""
+    import pytest
+
+    (tmp_path / "in").mkdir()
+    write_fastq(tmp_path / "in" / "a.fastq", random_seqs(rng, 256, 60))
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(
+        reads_per_chunk=32,
+        table_slots=3000,
+        checkpoint_dir=ckpt,
+        checkpoint_every=1,
+    )
+    # The one-level mesh counter consolidates every 4 chunks at this
+    # sizing (per-device slots floor 4x the chunk), so 6 steps guarantee
+    # at least one consolidation + checkpoint before the crash.
+    with monkeypatch.context() as mp:
+        _crash_engine_after(mp, 6)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            run_mesh_engine(tmp_path, 31, canonical=True, **kw)
+    import os
+
+    assert any(f.startswith("mesh.e") for f in os.listdir(ckpt))
+    with _spy_resumed(monkeypatch) as resumed:
+        (words, counts), stats = run_mesh_engine(
+            tmp_path, 31, canonical=True, **kw
+        )
+    assert resumed["epoch"] >= 1, "second run did not resume the snapshot"
+    want_words, want_counts = golden_dir_table(tmp_path, 31, canonical=True)
+    np.testing.assert_array_equal(words, want_words)
+    np.testing.assert_array_equal(counts, want_counts)
+    assert stats.reads == 256
+
+
+def test_mesh_engine_checkpoint_resume_across_spill(tmp_path, rng, monkeypatch):
+    """Mesh checkpoint/resume with disk spill active: the snapshot records
+    the outstanding spill runs; resume re-registers them and the final
+    hierarchical merge still byte-matches golden."""
+    import pytest
+
+    (tmp_path / "in").mkdir()
+    write_fastq(tmp_path / "in" / "a.fastq", random_seqs(rng, 200, 60))
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(
+        reads_per_chunk=32,
+        table_slots=1200,
+        temp_dir=str(tmp_path / "spill"),
+        checkpoint_dir=ckpt,
+        checkpoint_every=1,
+        table_impl="two",
+    )
+    with monkeypatch.context() as mp:
+        _crash_engine_after(mp, 5)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            run_mesh_engine(tmp_path, 31, canonical=True, **kw)
+    import os
+
+    assert any(
+        f.endswith(".run") for f in os.listdir(tmp_path / "spill")
+    ), "the crashed run never spilled — the test sizing regressed"
+    with _spy_resumed(monkeypatch) as resumed:
+        (words, counts), stats = run_mesh_engine(
+            tmp_path, 31, canonical=True, **kw
+        )
+    assert resumed["epoch"] >= 1, "second run did not resume the snapshot"
+    want_words, want_counts = golden_dir_table(tmp_path, 31, canonical=True)
+    np.testing.assert_array_equal(words, want_words)
+    np.testing.assert_array_equal(counts, want_counts)
+
+
+def test_mesh_engine_checkpoint_ignored_on_config_change(tmp_path, rng):
+    """A mesh snapshot taken at a different k must be ignored (fresh
+    count), not half-resumed."""
+    (tmp_path / "in").mkdir()
+    write_fastq(tmp_path / "in" / "a.fastq", random_seqs(rng, 60, 60))
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(reads_per_chunk=16, checkpoint_dir=ckpt, checkpoint_every=1,
+              table_slots=1500)
+    run_mesh_engine(tmp_path, 31, canonical=True, **kw)
+    (words, counts), _ = run_mesh_engine(tmp_path, 15, **kw)
+    want_words, want_counts = golden_dir_table(tmp_path, 15)
+    np.testing.assert_array_equal(words, want_words)
+    np.testing.assert_array_equal(counts, want_counts)

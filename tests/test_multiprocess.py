@@ -30,7 +30,14 @@ def _free_port() -> int:
 
 
 def _run_workers(
-    tmp_path, impl: str, k: int, table_slots: int = 0, temp_dir: str = ""
+    tmp_path,
+    impl: str,
+    k: int,
+    table_slots: int = 0,
+    temp_dir: str = "",
+    ckpt_dir: str = "",
+    checkpoint_every: int = 0,
+    crash_after: int = 0,
 ):
     out = str(tmp_path / f"out_{impl}.bin")
     port = _free_port()
@@ -38,6 +45,8 @@ def _run_workers(
     env.pop("JAX_PLATFORMS", None)  # the worker forces cpu itself
     env.pop("XLA_FLAGS", None)  # conftest's 8-device flag; worker sets 4
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(_WORKER))
+    if crash_after:
+        env["KMER_TEST_CRASH_AFTER_CHUNKS"] = str(crash_after)
     argv = [
         sys.executable,
         _WORKER,
@@ -50,8 +59,10 @@ def _run_workers(
         str(k),
         str(table_slots),
     ]
-    if temp_dir:
+    if temp_dir or ckpt_dir:
         argv.append(temp_dir)
+    if ckpt_dir:
+        argv += [ckpt_dir, str(checkpoint_every)]
     procs = [
         subprocess.Popen(
             [a if a != "PID" else str(pid) for a in argv],
@@ -71,7 +82,12 @@ def _run_workers(
                 q.kill()
             pytest.fail(f"multi-process worker timed out; partial: {logs}")
         logs.append(stdout)
-        assert p.returncode == 0, f"worker failed:\n{stdout}"
+        if crash_after:
+            assert p.returncode == 17, f"expected simulated crash:\n{stdout}"
+        else:
+            assert p.returncode == 0, f"worker failed:\n{stdout}"
+    if crash_after:
+        return None, logs
     # Assemble: parts in name order are the globally sorted table.
     parts = sorted(
         str(tmp_path / f) for f in os.listdir(tmp_path) if f.startswith(
@@ -150,6 +166,43 @@ def test_two_process_mesh_spill_matches_golden(tmp_path):
     assert any("spilled=" in l and "spilled=0" not in l.split()[-1] for l in logs), (
         f"no spill happened; workers: {logs}"
     )
+    from kmer_counter_tpu.io.dump import load_table
+
+    words, counts = load_table(merged, k)
+    want_words, want_counts = golden_dir_table(tmp_path, k, canonical=True)
+    np.testing.assert_array_equal(words, want_words)
+    np.testing.assert_array_equal(counts, want_counts)
+
+
+@pytest.mark.parametrize("impl", ["one", "two"])
+def test_two_process_kill_resume_matches_golden(tmp_path, impl):
+    """VERDICT r4 item 3 — mesh checkpoint/resume: both processes die
+    mid-run (after the same step count, so the collectives stay lockstep),
+    then a rerun resumes from the newest complete checkpoint epoch and the
+    final output still byte-matches golden."""
+    rng = np.random.default_rng(21)
+    (tmp_path / "in").mkdir()
+    for i in range(4):
+        write_fastq(
+            tmp_path / "in" / f"f{i}.fastq", random_seqs(rng, 48, 60)
+        )
+    k = 31
+    ckpt = str(tmp_path / "ckpt")
+    # Small table => consolidation (and a checkpoint) every chunk; crash
+    # after 4 steps so at least one complete epoch exists.
+    _, logs = _run_workers(
+        tmp_path, impl, k, table_slots=4000,
+        ckpt_dir=ckpt, checkpoint_every=1, crash_after=4,
+    )
+    assert any("simulated crash" in l for l in logs), logs
+    assert os.path.isdir(ckpt) and any(
+        f.startswith("mesh.e") and f.endswith(".json") for f in os.listdir(ckpt)
+    ), f"no checkpoint written before the crash: {os.listdir(tmp_path)}"
+    merged, logs2 = _run_workers(
+        tmp_path, impl, k, table_slots=4000,
+        ckpt_dir=ckpt, checkpoint_every=1,
+    )
+    assert all("resumed mesh checkpoint" in l for l in logs2), logs2
     from kmer_counter_tpu.io.dump import load_table
 
     words, counts = load_table(merged, k)
