@@ -156,13 +156,17 @@ def _measure(step, drain, table, iters, label, on_warmup=None):
     return best, table
 
 
-def selftest():
+def selftest(exit: bool = True):
     """On-chip Pallas kernel smoke at the REAL tile (tiny grids): the
     merge-fold kernels (odd-even + bitonic) and stream compaction checked
     against a NumPy reference.  CI covers the kernels in interpret mode at
     TILE=1024 only (tests/test_pallas_sort.py); this is the scripted
     real-Mosaic check the driver budget can afford (VERDICT r3 item 9).
-    Exits nonzero on any mismatch."""
+    ``exit=True`` (the --selftest CLI): prints the verdict JSON and exits
+    nonzero on any mismatch.  ``exit=False`` (run inside every bench, so
+    each BENCH_r*.json also certifies kernel correctness — VERDICT r4
+    item 6): returns the failure list, stdout untouched (the driver
+    contract is ONE JSON line)."""
     import jax
     import jax.numpy as jnp
 
@@ -312,11 +316,16 @@ def selftest():
         )
         if not okf:
             failures.append("merge_fold_compact")
-    if failures:
-        print(json.dumps({"selftest": "FAIL", "failures": failures}), flush=True)
-        os._exit(1)
-    print(json.dumps({"selftest": "PASS"}), flush=True)
-    os._exit(0)
+    if exit:
+        if failures:
+            print(
+                json.dumps({"selftest": "FAIL", "failures": failures}),
+                flush=True,
+            )
+            os._exit(1)
+        print(json.dumps({"selftest": "PASS"}), flush=True)
+        os._exit(0)
+    return failures
 
 
 def main():
@@ -613,6 +622,24 @@ def main():
 
     if _BANK["json"] is None:
         raise SystemExit("no phase produced a measurement")
+
+    # Certify the real-Mosaic kernels inside every bench run (VERDICT r4
+    # item 6): cache-warm it costs seconds.  The verdict goes to the
+    # stderr tail only — stdout stays the driver's ONE JSON line — and a
+    # failure cannot destroy the banked number.
+    if (
+        os.environ.get("BENCH_SELFTEST", "1") == "1"
+        and jax.devices()[0].platform.lower() in ("tpu", "axon")
+    ):
+        try:
+            fails = selftest(exit=False)
+            _log(
+                "selftest (in-bench): "
+                + ("PASS" if not fails else f"FAIL {fails}")
+            )
+        except Exception as e:
+            _log(f"selftest (in-bench): ERROR {e!r}")
+
     print(_BANK["json"], flush=True)
 
 

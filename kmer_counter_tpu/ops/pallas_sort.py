@@ -56,6 +56,21 @@ TILE = 65536
 _LANES = 128
 
 
+def _merge_prefetch_ok(n_ops: int, w: int) -> bool:
+    """Window-prefetch gate for the merge kernels.  The second window-
+    buffer set fits scoped VMEM for narrow records at the full 64K tile
+    (wide records OOM there: 16.85M vs the 16M budget measured at 5
+    operands, round 4), and for ANY operand count at a halved-or-smaller
+    tile — the merge intermediates shrink with the tile, so the second
+    window set is estimated to fit again (~11MB at 8 ops x 32K vs the
+    16MB budget; interpret-validated at every width, on-chip A/B in
+    docs/probe_hc_stages.py + BENCH_K=101 decides).
+    KMER_TPU_MERGE_PREFETCH=0 forces the serialized single-buffer form."""
+    if _os.environ.get("KMER_TPU_MERGE_PREFETCH", "1") != "1":
+        return False
+    return n_ops <= 3 or w <= TILE // 2
+
+
 def _rows(n: int) -> int:
     assert n % _LANES == 0
     return n // _LANES
@@ -395,7 +410,7 @@ def _merge_pass(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            _sds((n // _LANES, _LANES), a_pad[0]) for _ in range(n_ops)
+            _sds((n // _LANES, _LANES), operands[0]) for _ in range(n_ops)
         ],
         interpret=interpret,
     )(
@@ -779,9 +794,7 @@ def _merge_pair_fold_compact_bitonic_call(
     n_pref = 4 + num_keys
     pad_rows = wr + _WIN_EXTRA_ROWS
     out_rows = n // _LANES + pad_rows
-    prefetch = (
-        _os.environ.get("KMER_TPU_MERGE_PREFETCH", "1") == "1" and n_ops <= 3
-    )
+    prefetch = _merge_prefetch_ok(n_ops, w)
     n_wbufs = 4 * n_ops if prefetch else 2 * n_ops
     fills = [SENTINEL if k < num_keys else np.uint32(0) for k in range(n_ops)]
 
@@ -1278,9 +1291,7 @@ def _merge_pair_fold_bitonic_call(
     # window-buffer set: measured scoped-VMEM OOM at k=55 (16.85M vs the
     # 16M limit).  Narrow records (k <= 32) get the prefetch win; wide
     # ones keep the full 64K tile with serialized window loads.
-    prefetch = (
-        _os.environ.get("KMER_TPU_MERGE_PREFETCH", "1") == "1" and n_ops <= 3
-    )
+    prefetch = _merge_prefetch_ok(n_ops, w)
     n_bufs = 4 * n_ops if prefetch else 2 * n_ops
 
     def kernel(*refs):
@@ -1808,9 +1819,7 @@ def _merge_pair_call(
     nb_rows = b_pad[0].shape[0] // _LANES
     # see _merge_pair_fold_bitonic_call: no second buffer set for wide
     # records (scoped-VMEM OOM at 5 operands)
-    prefetch = (
-        _os.environ.get("KMER_TPU_MERGE_PREFETCH", "1") == "1" and n_ops <= 3
-    )
+    prefetch = _merge_prefetch_ok(n_ops, w)
     n_bufs = 4 * n_ops if prefetch else 2 * n_ops
 
     def kernel(*refs):

@@ -327,10 +327,27 @@ def _bitonic_tile(n_ops: int) -> int:
     operands (k<=64; validated on-chip at k=55), but the widest records
     OOM scoped VMEM at the full tile — measured 18.76M vs the 16M limit
     at 8 operands (k=101, 7 key lanes + counts).  Halve beyond five;
-    (CP+CR) is a multiple of TILE, hence of either window."""
+    (CP+CR) is a multiple of TILE, hence of either window.
+
+    KMER_TPU_WIDE_HALF=1 also halves the 4-5-operand tile (k in (32,64]):
+    the halved tile re-enables the window prefetch
+    (pallas_sort._merge_prefetch_ok), trading tile size for DMA overlap —
+    an on-chip A/B knob, not the default.  KMER_TPU_BITONIC_TILE=<n>
+    overrides the tile outright (probing only; must divide CP+CR)."""
+    import os
+
     from kmer_counter_tpu.ops import pallas_sort
 
-    return pallas_sort.TILE if n_ops <= 5 else pallas_sort.TILE // 2
+    t_env = os.environ.get("KMER_TPU_BITONIC_TILE")
+    if t_env:
+        return int(t_env)
+    if n_ops <= 3:
+        return pallas_sort.TILE
+    if n_ops <= 5:
+        if os.environ.get("KMER_TPU_WIDE_HALF", "0") == "1":
+            return pallas_sort.TILE // 2
+        return pallas_sort.TILE
+    return pallas_sort.TILE // 2
 
 
 @partial(jax.jit, static_argnames=("interpret",))
