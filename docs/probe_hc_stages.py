@@ -18,9 +18,59 @@ tunnel round-trip note; dependent-scalar drains):
      comparison that isolates the prefix-size-dependent cost.
 
 Usage (ONE TPU process at a time):
-    PYTHONPATH=. timeout 550 python docs/probe_hc_stages.py
+    PYTHONPATH=. timeout 800 python docs/probe_hc_stages.py
 
-Results (round 5, TPU v5 lite, recorded after the run):  see bottom.
+Results (round 5, TPU v5 lite, chained dispatches, warm cache):
+
+    A. sort_raw_desc CR=32.1M:                          122.4ms
+    B. fused merge live=35.7M + raw=32.1M, tile=65536:   55.8ms
+    B. fused merge live=35.7M + raw=32.1M, tile=32768:   56.6ms
+    B. fused merge live=35.7M + raw=32.1M, tile=16384:   63.1ms
+    C. fused merge live=1M    + raw=32.1M, tile=65536:   56.0ms
+
+Conclusions (they shaped round 5's hc attack):
+
+  1. The full 64K tile is already optimal — 16K runs 13% SLOWER despite
+     two fewer compare-exchange stages, so per-tile overhead (windows,
+     staging, launches) dominates stage count.  ROADMAP's "two-level
+     compact network" idea (trade 4 full-buffer stages for 16 segment
+     rolls) is therefore dead: the stages are not where the time is.
+  2. The merge pays per ALLOCATED SLOT, not per live row: C (live=1M)
+     costs the same as B (live=35.7M) because the kernel always runs
+     n = CP + CR slots.  The hc deficit vs the headline is exactly the
+     CP term of the merge (CP grows from 1x to 8x chunk in hc), which
+     amortizes over chunks-per-consolidation — hence the cap_mult
+     sweep on the hc phase (BENCH_CAP_MULT), not a kernel change.
+  3. 0.82ns/slot through the fused merge vs 3.8ns/row through lax.sort:
+     consolidation remains sort-dominated at every regime.
+
+Follow-ups measured the same session:
+
+  4. Unfused bitonic merge (fold, no in-kernel compact) at the same
+     shape: 39.6ms — the compact portion is 16.2ms (29%) of the fused
+     kernel.
+  5. An all-live TILE bypass of the compact network (skip the position
+     cumsum + delta-shift stages when a tile has zero dead rows) was
+     built, interpret-validated, and measured on-chip: fc 156.3M /
+     hc 140.9M — NO gain (within the +-10% session variance, slightly
+     negative).  Root cause: the bypass is all-or-nothing per 64K tile,
+     and in the hc phase ~half the raw keys duplicate prefix keys, so
+     P(65536 consecutive rows all live) ~ 0 — the branch never fires.
+     The kernel change was reverted; the equivalence tests remain
+     (test_fused_compact_all_live_bypass / _mixed_live_tiles).
+  6. BENCH_CAP_MULT=12 on the hc phase: 142.7M vs 142.3M at 8 — no
+     amortization win, because the phase sizes CP with cap_mult, so
+     merge slots per chunk stay ~(2 chunks worth) regardless.
+
+Bottom line: the hc budget is (sort CR at its proven primitive floor) +
+(merge CP+CR slots at 0.82ns/slot with the tile already optimal and
+stage count not the dominant term).  Both terms are per-row/per-slot
+floors of their kernels; the ~14% hc deficit vs the headline is the
+extra CP-worth of merge slots per consolidation, which is the work of
+rewriting a large live table and has no remaining kernel-level escape
+on this hardware.  (An LSM-style multi-run prefix would help only when
+CP >> CR — the real config-4 endgame — not in this phase's CP ~ CR
+shape; the disk-spill path already covers the true out-of-HBM regime.)
 """
 
 import os

@@ -574,3 +574,51 @@ def test_fused_compact_serial_fallbacks(rng, monkeypatch):
     assert int(live) == int(np.sum(np.asarray(m[1]) != 0))
     for i in range(2):
         assert np.array_equal(np.asarray(got[i]), np.asarray(ref[i])), f"op{i}"
+
+
+def test_fused_compact_all_live_bypass(rng):
+    """All-distinct keys: every tile is fully live, so the fused kernel
+    takes the all-live bypass (no compact network) in every tile — the
+    output must equal the unfused merge verbatim (round-5 hc
+    optimization, docs/probe_hc_stages.py)."""
+    na, nb = 2 * TILE, 2 * TILE
+    # Interleave evens/odds: all keys distinct across A and B.
+    a = np.sort((2 * rng.permutation(np.arange(na, dtype=np.uint64)))).astype(np.uint32)
+    b = np.sort((2 * np.arange(nb, dtype=np.uint64) + 1)).astype(np.uint32)
+    ac = rng.integers(1, 9, na).astype(np.uint32)
+    bc = np.ones(nb, np.uint32)
+    A = [jnp.asarray(a), jnp.asarray(ac)]
+    B = [jnp.asarray(b[::-1].copy()), jnp.asarray(bc[::-1].copy())]
+    m = ps.merge_sorted_runs_fold_bitonic(A, B, 1, tile=TILE, interpret=True)
+    got, live = ps.merge_fold_compact_bitonic(A, B, 1, tile=TILE, interpret=True)
+    assert int(live) == na + nb  # nothing folded, nothing dead
+    for i in range(2):
+        assert np.array_equal(
+            np.asarray(got[i])[: na + nb], np.asarray(m[i])
+        ), f"op{i}"
+
+
+def test_fused_compact_mixed_live_tiles(rng):
+    """Some tiles fully live, some with dead rows: the carried output
+    offset must stay exact across bypass/network branch switches."""
+    na, nb = 4 * TILE, 4 * TILE
+    # A: all-distinct low half (all-live tiles), duplicated high half
+    # (dup folds => dead rows => network path).
+    a = np.concatenate([
+        np.arange(2 * TILE, dtype=np.uint64) * 2,
+        5_000_000 + np.repeat(np.arange(TILE, dtype=np.uint64) * 2, 2),
+    ]).astype(np.uint32)
+    b = np.concatenate([
+        np.arange(2 * TILE, dtype=np.uint64) * 2 + 1,
+        5_000_000 + np.arange(2 * TILE, dtype=np.uint64) * 2 + 1,
+    ]).astype(np.uint32)
+    ac = np.ones(na, np.uint32)
+    bc = np.ones(nb, np.uint32)
+    A = [jnp.asarray(a), jnp.asarray(ac)]
+    B = [jnp.asarray(b[::-1].copy()), jnp.asarray(bc[::-1].copy())]
+    m = ps.merge_sorted_runs_fold_bitonic(A, B, 1, tile=TILE, interpret=True)
+    ref = ps.compact_live(list(m), m[1], num_keys=1, tile=TILE, interpret=True)
+    got, live = ps.merge_fold_compact_bitonic(A, B, 1, tile=TILE, interpret=True)
+    assert int(live) == int(np.sum(np.asarray(m[1]) != 0))
+    for i in range(2):
+        assert np.array_equal(np.asarray(got[i]), np.asarray(ref[i])), f"op{i}"
