@@ -62,9 +62,9 @@ def _merge_prefetch_ok(n_ops: int, w: int) -> bool:
     (wide records OOM there: 16.85M vs the 16M budget measured at 5
     operands, round 4), and for ANY operand count at a halved-or-smaller
     tile — the merge intermediates shrink with the tile, so the second
-    window set is estimated to fit again (~11MB at 8 ops x 32K vs the
-    16MB budget; interpret-validated at every width, on-chip A/B in
-    docs/probe_hc_stages.py + BENCH_K=101 decides).
+    window set fits again: the 8-operand x 32K kernel compiled and ran
+    on-chip with prefetch, 45.3ms vs 50.4ms serialized (-10.1%) at the
+    k=101 production shape (round 5, same-session A/B).
     KMER_TPU_MERGE_PREFETCH=0 forces the serialized single-buffer form."""
     if _os.environ.get("KMER_TPU_MERGE_PREFETCH", "1") != "1":
         return False
