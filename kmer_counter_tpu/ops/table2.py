@@ -329,11 +329,13 @@ def _bitonic_tile(n_ops: int) -> int:
     at 8 operands (k=101, 7 key lanes + counts).  Halve beyond five;
     (CP+CR) is a multiple of TILE, hence of either window.
 
-    KMER_TPU_WIDE_HALF=1 also halves the 4-5-operand tile (k in (32,64]):
-    the halved tile re-enables the window prefetch
-    (pallas_sort._merge_prefetch_ok), trading tile size for DMA overlap —
-    an on-chip A/B knob, not the default.  KMER_TPU_BITONIC_TILE=<n>
-    overrides the tile outright (probing only; must divide CP+CR)."""
+    The 4-5-operand tile (k in (32,64]) is ALSO halved by default: the
+    halved tile re-enables the window prefetch
+    (pallas_sort._merge_prefetch_ok), and the DMA overlap beats the
+    bigger tile — measured 93.8M vs 92.0M k-mers/s at k=55, back-to-back
+    on-chip (round 5).  KMER_TPU_WIDE_HALF=0 restores the round-4 full
+    tile.  KMER_TPU_BITONIC_TILE=<n> overrides the tile outright
+    (probing only; must divide CP+CR)."""
     import os
 
     from kmer_counter_tpu.ops import pallas_sort
@@ -344,7 +346,7 @@ def _bitonic_tile(n_ops: int) -> int:
     if n_ops <= 3:
         return pallas_sort.TILE
     if n_ops <= 5:
-        if os.environ.get("KMER_TPU_WIDE_HALF", "0") == "1":
+        if os.environ.get("KMER_TPU_WIDE_HALF", "1") == "1":
             return pallas_sort.TILE // 2
         return pallas_sort.TILE
     return pallas_sort.TILE // 2
