@@ -43,6 +43,8 @@ def _measure_one(D, k, canonical, reads_per_device, L, chunks, warmup, impl):
         ShardedCounter2,
     )
 
+    from jax.sharding import NamedSharding, PartitionSpec
+
     mesh = make_mesh(D)
     P = L - k + 1
     chunk_slots = reads_per_device * P
@@ -54,17 +56,32 @@ def _measure_one(D, k, canonical, reads_per_device, L, chunks, warmup, impl):
     )
     n_rows = D * reads_per_device
     n_distinct = 4
+    # Pre-stage the chunks on-device OUTSIDE the timed loop (counter.step
+    # passes jax.Arrays through): the measurement isolates device +
+    # collective throughput.  Host ingest is measured separately
+    # (benchmarks/bench_ingest.py), and this sandbox's host<->device
+    # tunnel relays at ~1MB/s — timing it would measure the tunnel.
+    sharding = NamedSharding(mesh, PartitionSpec("data"))
     read_sets = []
     for _ in range(n_distinct):
         st = rng.integers(0, len(genome) - L, size=n_rows)
-        read_sets.append(genome[st[:, None] + np.arange(L)[None, :]])
+        read_sets.append(
+            jax.device_put(genome[st[:, None] + np.arange(L)[None, :]], sharding)
+        )
 
+    # Pre-size the table for the WORST-case cardinality of the whole run
+    # (every window distinct): prefix growth mid-measurement rebuilds the
+    # jitted consolidation at a new shape, and each rebuild is a fresh
+    # multi-second (remote: ~45s) XLA compile — measured round 5, it was
+    # 200x the actual consolidation runtime.  The engine pre-sizes from
+    # the HBM budget for the same reason (plan_chunks).
+    total_chunks = chunks + warmup + 1
     if impl == "two":
         counter = ShardedCounter2(
             mesh,
             k,
             canonical,
-            prefix_slots=max(2 * chunk_slots, 1),
+            prefix_slots=total_chunks * chunk_slots,
             raw_slots=8 * chunk_slots,
             reads_per_device=reads_per_device,
             line_length=L,
@@ -74,7 +91,7 @@ def _measure_one(D, k, canonical, reads_per_device, L, chunks, warmup, impl):
             mesh,
             k,
             canonical,
-            table_slots=10 * chunk_slots,
+            table_slots=(total_chunks + 2) * chunk_slots,
             reads_per_device=reads_per_device,
             line_length=L,
         )

@@ -55,6 +55,28 @@ def _global_sum_int(x: int) -> int:
     return x
 
 
+def _stage_reads_on(mesh, reads):
+    """Read chunk → global device array sharded over the data axis.
+
+    A jax.Array passes through untouched (pre-staged device-resident
+    reads — benchmarks stage chunks outside their timed loops so the
+    measurement isolates device + collective throughput from the host
+    transfer, which this sandbox's tunnel relays at ~1MB/s).  Host
+    arrays: each process passes only its devices' rows; the global array
+    is assembled block-per-process (the step is a collective that every
+    process must enter in lockstep).
+    """
+    if isinstance(reads, jax.Array):
+        return reads
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() > 1:
+        global_shape = (reads.shape[0] * jax.process_count(), reads.shape[1])
+        return jax.make_array_from_process_local_data(
+            sharding, reads, global_shape
+        )
+    return jax.device_put(reads, sharding)
+
+
 def _place_by_position(mesh, spec, global_shape, dtype, block_for):
     """Assemble a sharded global array from per-position host blocks.
 
@@ -238,8 +260,13 @@ class ShardedCounter:
 
     # ---- host-facing API -------------------------------------------------
 
+    def _stage_reads(self, reads):
+        return _stage_reads_on(self.mesh, reads)
+
     def step(self, reads: np.ndarray):
-        """Process one global chunk of shape [D*reads_per_device, L]."""
+        """Process one global chunk of shape [D*reads_per_device, L] (a
+        pre-staged sharded jax.Array passes through, see
+        _stage_reads_on)."""
         if self.host_bound + self.chunk_slots > self.table_slots:
             self.consolidate()
             if self.host_bound + self.chunk_slots > self.table_slots:
@@ -250,20 +277,7 @@ class ShardedCounter:
                 while self.host_bound + self.chunk_slots > new_slots:
                     new_slots *= 2
                 self._grow(new_slots)
-        sharding = NamedSharding(self.mesh, P(DATA_AXIS))
-        if jax.process_count() > 1:
-            # Each process passes only its devices' rows; the global array
-            # is assembled block-per-process (the step is a collective that
-            # every process must enter in lockstep).
-            global_shape = (
-                reads.shape[0] * jax.process_count(),
-                reads.shape[1],
-            )
-            dev_reads = jax.make_array_from_process_local_data(
-                sharding, reads, global_shape
-            )
-        else:
-            dev_reads = jax.device_put(reads, sharding)
+        dev_reads = self._stage_reads(reads)
         self.lanes, self.counts, self.offsets = self._step(
             self.lanes, self.counts, self.offsets, dev_reads
         )
@@ -777,21 +791,16 @@ class ShardedCounter2:
 
     # ---- host-facing API -------------------------------------------------
 
+    def _stage_reads(self, reads):
+        return _stage_reads_on(self.mesh, reads)
+
     def step(self, reads: np.ndarray):
-        """Process one global chunk of shape [D*reads_per_device, L]."""
+        """Process one global chunk of shape [D*reads_per_device, L] (a
+        pre-staged sharded jax.Array passes through, see
+        _stage_reads_on)."""
         if self.raw_bound + self.chunk_slots > self.CR:
             self.consolidate()
-        sharding = NamedSharding(self.mesh, P(DATA_AXIS))
-        if jax.process_count() > 1:
-            global_shape = (
-                reads.shape[0] * jax.process_count(),
-                reads.shape[1],
-            )
-            dev_reads = jax.make_array_from_process_local_data(
-                sharding, reads, global_shape
-            )
-        else:
-            dev_reads = jax.device_put(reads, sharding)
+        dev_reads = self._stage_reads(reads)
         self.raw_lanes, self.raw_off, self.allt = self._step(
             self.raw_lanes, self.raw_off, self.allt, dev_reads
         )
