@@ -342,7 +342,12 @@ class CountEngine:
             # makes truncation impossible.
             nonlocal live_bound
             if live_bound + raw_bound > cp:
-                new_cp = round_tile(live_bound + raw_bound)
+                # Geometric growth (not exact-fit): every new prefix shape
+                # recompiles the consolidation stages — ~45s each through
+                # this sandbox's remote tunnel, measured round 5 — so a
+                # cardinality-growing run must see O(log) shapes, not one
+                # per consolidation.
+                new_cp = round_tile(max(live_bound + raw_bound, 2 * cp))
                 if opts.verbose:
                     print(f"[engine] growing prefix to {new_cp} slots")
                 table = t2.grow2(table, new_cp, cr)

@@ -811,7 +811,12 @@ class ShardedCounter2:
         prefix so truncation is impossible (live + raw bounds the distinct
         keys a consolidation can produce)."""
         if self.live_bound + self.raw_bound > self.CP:
-            self._grow_prefix(self.live_bound + self.raw_bound)
+            # Geometric growth: every new prefix shape recompiles the
+            # shard_map consolidation (~45s each through the remote
+            # tunnel, measured round 5) — bound the shapes to O(log).
+            self._grow_prefix(
+                max(self.live_bound + self.raw_bound, 2 * self.CP)
+            )
         (
             self.prefix_lanes,
             self.prefix_counts,
