@@ -462,6 +462,7 @@ class ParallelIngest:
         self._closed = False
         # consumer state
         self._cur = 0  # unit index being consumed
+        self._line_length_cache: dict[str, int | None] = {}
         self._cur_chunk: FASTQChunk | None = None
         self._cur_off = 0
         self._threads = [
@@ -546,19 +547,24 @@ class ParallelIngest:
 
     @property
     def line_length(self) -> int | None:
+        """Current unit's fixed read length (memoized per path: the probe
+        opens and reads the file head, which would otherwise re-run on
+        EVERY access — VERDICT r4 item 7)."""
         path, _br, _fi = (
             self._units[self._cur] if self._cur < len(self._units) else
             (None, None, None)
         )
         if path is None:
             return None
-        try:
-            probe = self._factory(path)
-        except (OSError, ValueError):
-            return None
-        L = probe.line_length
-        probe.close()
-        return L
+        if path not in self._line_length_cache:
+            try:
+                probe = self._factory(path)
+            except (OSError, ValueError):
+                self._line_length_cache[path] = None
+            else:
+                self._line_length_cache[path] = probe.line_length
+                probe.close()
+        return self._line_length_cache[path]
 
     def _advance_unit(self):
         self._cur += 1
