@@ -209,3 +209,54 @@ def test_two_process_kill_resume_matches_golden(tmp_path, impl):
     want_words, want_counts = golden_dir_table(tmp_path, k, canonical=True)
     np.testing.assert_array_equal(words, want_words)
     np.testing.assert_array_equal(counts, want_counts)
+
+
+def test_two_process_kill_resume_across_spill(tmp_path):
+    """Mesh checkpoint/resume with multi-process disk spill active: the
+    per-position spill runs recorded in the snapshot must be restored
+    (pos_runs + sequence renumber past existing files) and the final
+    range-merged parts still byte-match golden."""
+    rng = np.random.default_rng(23)
+    (tmp_path / "in").mkdir()
+    for i in range(4):
+        write_fastq(
+            tmp_path / "in" / f"f{i}.fastq", random_seqs(rng, 64, 60)
+        )
+    k = 31
+    ckpt = str(tmp_path / "ckpt")
+    spill = str(tmp_path / "tmp_spill")
+    # Tiny budget: spill engages early; checkpoint every consolidation;
+    # crash after 6 steps (spill + at least one post-spill checkpoint).
+    _, logs = _run_workers(
+        tmp_path, "two", k, table_slots=1200, temp_dir=spill,
+        ckpt_dir=ckpt, checkpoint_every=1, crash_after=6,
+    )
+    assert any("simulated crash" in l for l in logs), logs
+    assert os.path.isdir(spill) and any(
+        f.endswith(".run") for f in os.listdir(spill)
+    ), "test sizing regressed: no spill before the crash"
+    # The snapshot must actually carry the spill state: at least one
+    # committed manifest with a non-empty pos_runs (otherwise this test
+    # would pass without exercising the restore path).
+    import json
+
+    manifests = [
+        json.load(open(os.path.join(ckpt, f)))
+        for f in os.listdir(ckpt)
+        if f.startswith("mesh.e") and f.endswith(".json")
+    ]
+    assert any(m.get("pos_runs") for m in manifests), (
+        "no post-spill checkpoint was taken before the crash — "
+        f"tune crash_after; manifests: {[sorted(m) for m in manifests]}"
+    )
+    merged, logs2 = _run_workers(
+        tmp_path, "two", k, table_slots=1200, temp_dir=spill,
+        ckpt_dir=ckpt, checkpoint_every=1,
+    )
+    assert all("resumed mesh checkpoint" in l for l in logs2), logs2
+    from kmer_counter_tpu.io.dump import load_table
+
+    words, counts = load_table(merged, k)
+    want_words, want_counts = golden_dir_table(tmp_path, k, canonical=True)
+    np.testing.assert_array_equal(words, want_words)
+    np.testing.assert_array_equal(counts, want_counts)
