@@ -145,3 +145,86 @@ def extract_kmer_lanes(
         lanes = _lex_min(_rc_lanes(A, k, P), lanes)
     wvalid = _window_valid(valid, k)
     return jnp.stack(lanes, axis=0), wvalid
+
+
+# ---------------------------------------------------------------------------
+# Transposed orientation: [L, R] codes, [NL, P, R] lanes.
+#
+# In the [R, P] orientation the window axis P = L-k+1 rides the 128-lane
+# minor dimension and gets tile-padded (70 → 128 = 1.8x wasted elements at
+# k=31/L=100; 50 → 128 = 2.6x at k=101/L=150), and the final
+# [NL, R, P] → [NL, R*P] reshape is a genuine relayout.  Transposed, the
+# read axis R (a multiple of 128 in every production chunk) rides the
+# lanes: every elementwise op tiles perfectly and the output reshape
+# [NL, P, R] → [NL, P*R] is contiguous.  Window order becomes
+# position-major instead of read-major — irrelevant, every consumer sorts
+# the raw region.  (Measured on-chip round 5: the fused k=31 step drops
+# 5.2ms → see BASELINE.md.)
+
+
+def _pack_tree_t(codes_t: jnp.ndarray) -> jnp.ndarray:
+    """codes ``[L, R] uint32`` → ``A [L+15, R]`` with A[p] packing bases
+    p..p+15 MSB-first in 32 bits (zero-padded past the read end)."""
+    A = jnp.pad(codes_t, ((0, BASES_PER_LANE - 1), (0, 0)))
+    for m in range(4):
+        sh = 1 << m
+        A = (A[: A.shape[0] - sh] << jnp.uint32(2 * sh)) | A[sh:]
+    return A
+
+
+def _fwd_lanes_t(A: jnp.ndarray, k: int, P: int) -> list[jnp.ndarray]:
+    lanes = []
+    for i in range(active_lanes(k)):
+        base0 = i * BASES_PER_LANE
+        n_bases = min(BASES_PER_LANE, k - base0)
+        v = A[base0 : base0 + P]
+        if n_bases < BASES_PER_LANE:
+            drop = jnp.uint32(2 * (BASES_PER_LANE - n_bases))
+            v = (v >> drop) << drop
+        lanes.append(v)
+    return lanes
+
+
+def _rc_lanes_t(A: jnp.ndarray, k: int, P: int) -> list[jnp.ndarray]:
+    lanes = []
+    for i in range(active_lanes(k)):
+        n_bases = min(BASES_PER_LANE, k - i * BASES_PER_LANE)
+        if n_bases == BASES_PER_LANE:
+            off = k - BASES_PER_LANE * (i + 1)
+            lanes.append(_rev_groups(~A[off : off + P]))
+        else:
+            v = _rev_groups(~A[0:P])
+            lanes.append(v << jnp.uint32(2 * (BASES_PER_LANE - n_bases)))
+    return lanes
+
+
+def _window_valid_t(valid_t: jnp.ndarray, k: int) -> jnp.ndarray:
+    inv = ~valid_t
+    covered = 1
+    cur = inv
+    while covered < k:
+        step = min(covered, k - covered)
+        cur = cur[: cur.shape[0] - step] | cur[step:]
+        covered += step
+    P = valid_t.shape[0] - k + 1
+    return ~cur[:P]
+
+
+def extract_kmer_lanes_t(
+    codes_t: jnp.ndarray,
+    valid_t: jnp.ndarray,
+    k: int,
+    canonical: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Transposed twin of extract_kmer_lanes: ``[L, R]`` codes/valid →
+    (lanes ``[NLa, P, R] uint32``, window_valid ``[P, R] bool``)."""
+    L, R = codes_t.shape
+    P = L - k + 1
+    if P <= 0:
+        raise ValueError(f"line length {L} shorter than k={k}")
+    A = _pack_tree_t(codes_t)
+    lanes = _fwd_lanes_t(A, k, P)
+    if canonical:
+        lanes = _lex_min(_rc_lanes_t(A, k, P), lanes)
+    wvalid = _window_valid_t(valid_t, k)
+    return jnp.stack(lanes, axis=0), wvalid

@@ -15,8 +15,42 @@ import jax
 import jax.numpy as jnp
 
 from kmer_counter_tpu.ops.encode import encode_reads
-from kmer_counter_tpu.ops.extract import extract_kmer_lanes
+from kmer_counter_tpu.ops.extract import (
+    extract_kmer_lanes,
+    extract_kmer_lanes_t,
+)
 from kmer_counter_tpu.ops.sortcount import sort_reduce
+
+
+def _extract_flat(reads, k: int, canonical: bool):
+    """(lanes [NL, N], wvalid [N]) for one chunk, N = R*(L-k+1).
+
+    Narrow records (NL <= 2, k <= 32) extract TRANSPOSED
+    (extract.extract_kmer_lanes_t): the read axis rides the 128-lane
+    minor dim, so no op pays the P→128 tile padding and the output
+    flatten is contiguous — measured on-chip 3.46ms vs 3.86ms at k=31
+    (round 5).  The window order becomes position-major, which no
+    consumer observes (the raw region is sorted).  Wide records stay
+    read-major: the transposed form's many sublane-offset lane slices
+    LOSE there (k=55: 8.39 vs 4.69ms; k=101: 6.01 vs 5.16ms — measured).
+    KMER_TPU_EXTRACT_T=0 forces read-major everywhere.
+    """
+    import os
+
+    from kmer_counter_tpu.records import active_lanes
+
+    if (
+        active_lanes(k) <= 2
+        and os.environ.get("KMER_TPU_EXTRACT_T", "1") == "1"
+    ):
+        codes, valid = encode_reads(reads.T)
+        lanes, wvalid = extract_kmer_lanes_t(codes, valid, k, canonical)
+        NL, P, R = lanes.shape
+        return lanes.reshape(NL, P * R), wvalid.reshape(P * R)
+    codes, valid = encode_reads(reads)
+    lanes, wvalid = extract_kmer_lanes(codes, valid, k, canonical)
+    NL, R, P = lanes.shape
+    return lanes.reshape(NL, R * P), wvalid.reshape(R * P)
 
 
 @partial(jax.jit, static_argnames=("k", "canonical"))
@@ -33,10 +67,8 @@ def extract_chunk(
     (ops.table.consolidate), which profiling shows is strictly cheaper
     than sorting every chunk.
     """
-    codes, valid = encode_reads(reads)
-    lanes, wvalid = extract_kmer_lanes(codes, valid, k, canonical)
-    NL, R, P = lanes.shape
-    return lanes.reshape(NL, R * P), wvalid.reshape(R * P).astype(jnp.uint32)
+    flat, wv = _extract_flat(reads, k, canonical)
+    return flat, wv.astype(jnp.uint32)
 
 
 @partial(jax.jit, static_argnames=("k", "canonical"))
@@ -54,11 +86,7 @@ def extract_chunk_keys(
     ``allt`` instead of the key stream (canonical(T^k) = A^k, so the
     canonical path never produces the sentinel pattern).
     """
-    codes, valid = encode_reads(reads)
-    lanes, wvalid = extract_kmer_lanes(codes, valid, k, canonical)
-    NL, R, P = lanes.shape
-    flat = lanes.reshape(NL, R * P)
-    wv = wvalid.reshape(R * P)
+    flat, wv = _extract_flat(reads, k, canonical)
     sentinel = jnp.uint32(0xFFFFFFFF)
     if k % 16 == 0 and not canonical:
         is_allt = jnp.all(flat == sentinel, axis=0) & wv
