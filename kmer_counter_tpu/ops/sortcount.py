@@ -81,7 +81,12 @@ def device_sort(operands, num_keys: int):
             return pallas_sort.sort_ops(
                 [v.astype(jnp.uint32) for v in operands], num_keys
             )
-    return jax.lax.sort(tuple(operands), dimension=0, num_keys=num_keys)
+    # Unstable: every caller collapses equal keys by run totals, so
+    # tie order is unobservable — and the unstable TPU sort measured
+    # 32% faster than the stable default (round 5).
+    return jax.lax.sort(
+        tuple(operands), dimension=0, num_keys=num_keys, is_stable=False
+    )
 
 
 def sort_reduce(

@@ -263,7 +263,17 @@ def _c3_sort_raw(raw_lanes, raw_off):
     NL, CR = raw_lanes.shape
     idx = jnp.arange(CR, dtype=jnp.int32)
     eff = jnp.where((idx < raw_off)[None, :], raw_lanes, SENTINEL)
-    s_ops = jax.lax.sort(tuple(eff[i] for i in range(NL)), dimension=0, num_keys=NL)
+    s_ops = jax.lax.sort(
+        tuple(eff[i] for i in range(NL)),
+        dimension=0,
+        num_keys=NL,
+        # Unstable: keys-only rows are interchangeable within a tie
+        # run, and the unstable TPU sort measured 32% faster than
+        # the stable default (80.5 vs 117.9ms @ 32.1M x 2 lanes,
+        # round 5 — round 4's 'stability is free' result does not
+        # reproduce on this JAX).
+        is_stable=False,
+    )
     s_lanes = jnp.stack(s_ops, axis=0)
     return s_lanes, _raw_counts_in_place(s_lanes)
 
@@ -275,7 +285,17 @@ def _c3_sort_raw_ones(raw_lanes, raw_off):
     NL, CR = raw_lanes.shape
     idx = jnp.arange(CR, dtype=jnp.int32)
     eff = jnp.where((idx < raw_off)[None, :], raw_lanes, SENTINEL)
-    s_ops = jax.lax.sort(tuple(eff[i] for i in range(NL)), dimension=0, num_keys=NL)
+    s_ops = jax.lax.sort(
+        tuple(eff[i] for i in range(NL)),
+        dimension=0,
+        num_keys=NL,
+        # Unstable: keys-only rows are interchangeable within a tie
+        # run, and the unstable TPU sort measured 32% faster than
+        # the stable default (80.5 vs 117.9ms @ 32.1M x 2 lanes,
+        # round 5 — round 4's 'stability is free' result does not
+        # reproduce on this JAX).
+        is_stable=False,
+    )
     s_lanes = jnp.stack(s_ops, axis=0)
     is_sent = jnp.all(s_lanes == SENTINEL, axis=0)
     return s_lanes, jnp.where(is_sent, jnp.uint32(0), jnp.uint32(1))
@@ -315,7 +335,17 @@ def _c3_sort_raw_desc(raw_lanes, raw_off):
     idx = jnp.arange(CR, dtype=jnp.int32)
     live = idx < raw_off
     eff = jnp.where(live[None, :], ~raw_lanes, SENTINEL)
-    s_ops = jax.lax.sort(tuple(eff[i] for i in range(NL)), dimension=0, num_keys=NL)
+    s_ops = jax.lax.sort(
+        tuple(eff[i] for i in range(NL)),
+        dimension=0,
+        num_keys=NL,
+        # Unstable: keys-only rows are interchangeable within a tie
+        # run, and the unstable TPU sort measured 32% faster than
+        # the stable default (80.5 vs 117.9ms @ 32.1M x 2 lanes,
+        # round 5 — round 4's 'stability is free' result does not
+        # reproduce on this JAX).
+        is_stable=False,
+    )
     s_desc = ~jnp.stack(s_ops, axis=0)
     ones = jnp.where(live, jnp.uint32(1), jnp.uint32(0))
     return s_desc, ones
@@ -525,7 +555,17 @@ def _consolidate3_fold_impl(table: TwoLevelTable, interpret: bool = False):
     idx = jnp.arange(CR, dtype=jnp.int32)
     live = idx < table.raw_off
     eff = jnp.where(live[None, :], table.raw_lanes, SENTINEL)
-    s_ops = jax.lax.sort(tuple(eff[i] for i in range(NL)), dimension=0, num_keys=NL)
+    s_ops = jax.lax.sort(
+        tuple(eff[i] for i in range(NL)),
+        dimension=0,
+        num_keys=NL,
+        # Unstable: keys-only rows are interchangeable within a tie
+        # run, and the unstable TPU sort measured 32% faster than
+        # the stable default (80.5 vs 117.9ms @ 32.1M x 2 lanes,
+        # round 5 — round 4's 'stability is free' result does not
+        # reproduce on this JAX).
+        is_stable=False,
+    )
     s_lanes = jnp.stack(s_ops, axis=0)
     is_sent = jnp.all(s_lanes == SENTINEL, axis=0)
     r_ones = jnp.where(is_sent, jnp.uint32(0), jnp.uint32(1))
@@ -562,7 +602,17 @@ def _consolidate3_impl(table: TwoLevelTable, interpret: bool = False):
     idx = jnp.arange(CR, dtype=jnp.int32)
     live = idx < table.raw_off
     eff = jnp.where(live[None, :], table.raw_lanes, SENTINEL)
-    s_ops = jax.lax.sort(tuple(eff[i] for i in range(NL)), dimension=0, num_keys=NL)
+    s_ops = jax.lax.sort(
+        tuple(eff[i] for i in range(NL)),
+        dimension=0,
+        num_keys=NL,
+        # Unstable: keys-only rows are interchangeable within a tie
+        # run, and the unstable TPU sort measured 32% faster than
+        # the stable default (80.5 vs 117.9ms @ 32.1M x 2 lanes,
+        # round 5 — round 4's 'stability is free' result does not
+        # reproduce on this JAX).
+        is_stable=False,
+    )
     s_lanes = jnp.stack(s_ops, axis=0)
     r_counts = _raw_counts_in_place(s_lanes)
 
