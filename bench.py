@@ -26,7 +26,9 @@ reference's *active* aggregation design (NumPy vectorized extract + sort —
 generous to the reference, whose actual path is a single-thread -O0 hash
 insert loop).  vs_baseline = device_throughput / host_proxy_throughput.
 
-Env knobs: BENCH_READS (default 65536), BENCH_ITERS (8), BENCH_K (31),
+Env knobs: BENCH_READS (default 262144 — 18.3M windows/chunk;
+bigger chunks amortize consolidation better now that the raw sort is
+unstable-cheap: 219M vs 195M at 64k reads, round 5), BENCH_ITERS (8), BENCH_K (31),
 BENCH_CANONICAL (1), BENCH_LINE_LEN (100), BENCH_GENOME (1000000),
 BENCH_PHASES ("one,three"; "two" = the unfused two-level phase,
 off by default — its XLA fold pass never finishes compiling through this
@@ -332,7 +334,7 @@ def main():
     if "--selftest" in sys.argv:
         _arm_watchdog(float(os.environ.get("BENCH_DEADLINE_S", 560)))
         selftest()
-    n_reads = int(os.environ.get("BENCH_READS", 65536))
+    n_reads = int(os.environ.get("BENCH_READS", 262144))
     iters = int(os.environ.get("BENCH_ITERS", 8))
     k = int(os.environ.get("BENCH_K", 31))
     canonical = os.environ.get("BENCH_CANONICAL", "1") == "1"
