@@ -605,7 +605,17 @@ def main():
         # sampled from a genome large enough that the live prefix reaches
         # the steady-state cap_mult x chunk bound — consolidations merge a
         # large live prefix instead of round-3's ~1M-key easy case.
-        genome_hc = int(os.environ.get("BENCH_GENOME_HC", 48_000_000))
+        # The hc regime is defined by the live prefix approaching CP =
+        # cap_mult x chunk windows; the genome must carry at least that
+        # many distinct k-mers or bigger chunks silently deflate the
+        # regime (at 262k reads a fixed 48M-base genome leaves live/CP
+        # at ~31%).
+        genome_hc = int(
+            os.environ.get(
+                "BENCH_GENOME_HC",
+                max(48_000_000, cap_mult * kmers_per_chunk),
+            )
+        )
         g2 = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=genome_hc)
         hc_chunks = []
         for _ in range(cap_mult):
